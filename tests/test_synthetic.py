@@ -1,0 +1,59 @@
+"""Synthetic fixture generator: determinism, physical consistency, and
+agreement between the stored GT map and on-device rasterization of the stored
+points (the L1→L2 contract, SURVEY.md §7 step 1)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from radar_depth_tpu.data import SyntheticNuScenes, SampleSpec
+from radar_depth_tpu.data.schema import validate_sample
+from radar_depth_tpu.ops import radar_to_depth_map, rasterize_min_depth, project_points
+
+SPEC = SampleSpec(height=112, width=200, lidar_points=8192, num_sweeps=3)
+
+
+def test_deterministic_and_valid():
+    ds1 = SyntheticNuScenes(4, spec=SPEC, seed=7)
+    ds2 = SyntheticNuScenes(4, spec=SPEC, seed=7)
+    s1, s2 = ds1[2], ds2[2]
+    validate_sample(s1, SPEC)
+    for k in s1:
+        np.testing.assert_array_equal(s1[k], s2[k])
+    s3 = SyntheticNuScenes(4, spec=SPEC, seed=8)[2]
+    assert not np.array_equal(s3["image"], s1["image"])
+
+
+def test_gt_depth_matches_rasterized_lidar_points():
+    ds = SyntheticNuScenes(2, spec=SPEC, seed=1)
+    s = ds[0]
+    uv, z = project_points(jnp.asarray(s["lidar_points"]), jnp.asarray(s["intrinsics"]))
+    got = np.asarray(
+        rasterize_min_depth(uv, z, jnp.asarray(s["lidar_valid"]),
+                            SPEC.height, SPEC.width,
+                            min_depth=SPEC.min_depth, max_depth=SPEC.max_depth)
+    )
+    # Stored map was built by the numpy oracle from the exact same points.
+    np.testing.assert_allclose(got, s["lidar_depth"], atol=1e-5)
+    assert (s["lidar_depth"] > 0).mean() > 0.02  # plausibly dense
+
+
+def test_radar_projects_into_image_and_correlates_with_gt():
+    ds = SyntheticNuScenes(2, spec=SPEC, seed=3)
+    s = ds[0]
+    radar_map = np.asarray(radar_to_depth_map(
+        jnp.asarray(s["radar_points"]), jnp.asarray(s["radar_valid"]),
+        jnp.asarray(s["radar_transform"]), jnp.asarray(s["intrinsics"]),
+        SPEC.height, SPEC.width, max_depth=SPEC.max_depth,
+    ))
+    n_radar = (radar_map > 0).sum()
+    assert n_radar >= 10, f"too few radar pixels: {n_radar}"
+    # Multi-sweep accumulation must land *more* points than a single sweep.
+    single = np.asarray(radar_to_depth_map(
+        jnp.asarray(s["radar_points"][:1]), jnp.asarray(s["radar_valid"][:1]),
+        jnp.asarray(s["radar_transform"][:1]), jnp.asarray(s["intrinsics"]),
+        SPEC.height, SPEC.width, max_depth=SPEC.max_depth,
+    ))
+    assert n_radar > (single > 0).sum()
+    # Radar depths should be within scene range.
+    vals = radar_map[radar_map > 0]
+    assert vals.min() > 0.5 and vals.max() < SPEC.max_depth
