@@ -1,0 +1,102 @@
+"""End-to-end throughput benchmark (BASELINE.json north star: ≥1000
+images/sec/chip, preproc + inference, on the flagship two-stage model).
+
+Measures steady-state images/sec for the fused raw-batch → multi-sweep radar
+preproc → two-stage late-fusion forward pipeline on the local device(s),
+divides by chip count, and prints ONE JSON line:
+  {"metric": "images_per_sec_per_chip", "value": N, "unit": "img/s/chip",
+   "vs_baseline": N/1000}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--height", type=int, default=450)
+    p.add_argument("--width", type=int, default=800)
+    p.add_argument("--sweeps", type=int, default=5)
+    p.add_argument("--arch", default="resnet18_multistage")
+    p.add_argument("--dtype", default="bfloat16")
+    args = p.parse_args()
+
+    from radar_depth_tpu.data.schema import SampleSpec
+    from radar_depth_tpu.data.synthetic import SyntheticNuScenes
+    from radar_depth_tpu.models import create_model
+    from radar_depth_tpu.ops.preprocess import (
+        PreprocessConfig,
+        pack_model_inputs,
+        prepare_eval_batch,
+    )
+
+    n_chips = jax.device_count()
+    spec = SampleSpec(height=args.height, width=args.width,
+                      num_sweeps=args.sweeps, max_depth=80.0)
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[args.dtype]
+    model, arch_spec = create_model(
+        args.arch, decoder="upproj", output_size=(spec.height, spec.width),
+        dtype=dtype,
+    )
+
+    ds = SyntheticNuScenes(args.batch, spec=spec, seed=0)
+    host_batch = ds.batch(range(args.batch))
+    batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
+
+    from radar_depth_tpu.train.step import init_model
+    from radar_depth_tpu.config import DataConfig, ModelConfig, TrainConfig
+
+    cfg = TrainConfig(
+        data=DataConfig(height=spec.height, width=spec.width,
+                        num_sweeps=spec.num_sweeps),
+        model=ModelConfig(arch=args.arch, dtype=args.dtype),
+        batch_size=args.batch,
+    )
+    variables = init_model(model, arch_spec, cfg, jax.random.PRNGKey(0))
+    pre_cfg = PreprocessConfig(spec=spec)
+
+    @jax.jit
+    def infer(params, batch_stats, batch):
+        prepared = prepare_eval_batch(batch, pre_cfg)
+        inputs = pack_model_inputs(prepared, arch_spec.input_kind)
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          *inputs, train=False)
+        return out[1] if arch_spec.multistage else out
+
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+
+    def run_once():
+        out = infer(params, batch_stats, batch)
+        # Force true completion with a host fetch: under the axon relay,
+        # block_until_ready alone has been observed to return early.
+        return float(jnp.sum(out))
+
+    for _ in range(args.warmup):
+        checksum = run_once()
+    assert np.isfinite(checksum), checksum
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        run_once()
+    dt = time.perf_counter() - t0
+    img_per_sec = args.batch * args.iters / dt
+    per_chip = img_per_sec / n_chips
+    print(json.dumps({
+        "metric": "images_per_sec_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(per_chip / 1000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""Single config tree + CLI mirroring the reference's argparse knobs
+(upstream:utils.py::parse_command; SURVEY.md §5 "Config / flag system").
+
+Every semantic knob of the reference exists here under the same name/values so
+reference run recipes translate mechanically:
+  --arch --modality --decoder --criterion/-c -b/--batch-size --epochs --lr
+  --momentum --weight-decay --workers --resume --evaluate
+plus TPU-native additions (dtype, mesh size, height-extension, synthetic-data
+sizes) that have no reference counterpart.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import Optional, Tuple
+
+from radar_depth_tpu.data.schema import SampleSpec
+from radar_depth_tpu.models import ARCH_REGISTRY, MODALITY_CHANNELS
+from radar_depth_tpu.models.decoders import DECODER_KINDS
+from radar_depth_tpu.ops.augment import AugmentConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "synthetic"  # synthetic | packed (binary shards on disk)
+    data_root: str = ""  # for packed datasets
+    height: int = 450
+    width: int = 800
+    num_sweeps: int = 5
+    max_depth: float = 80.0
+    height_extension: int = 0
+    num_train: int = 256  # synthetic split sizes
+    num_val: int = 64
+    seed: int = 0
+
+    def sample_spec(self) -> SampleSpec:
+        return SampleSpec(
+            height=self.height, width=self.width, num_sweeps=self.num_sweeps,
+            max_depth=self.max_depth,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    arch: str = "resnet18_latefusion"
+    modality: str = "rgbd"  # for single-branch archs: rgb | rgbd | d
+    decoder: str = "upproj"
+    dtype: str = "float32"  # compute dtype: float32 | bfloat16
+    # two-stage filter (SURVEY.md §3.4 [M] rule):
+    filter_mode: str = "abs"
+    abs_threshold: float = 2.0
+    rel_threshold: float = 0.15
+    pretrained: str = ""  # path to converted torchvision weights (no network)
+    stage1_path: str = ""  # init multistage stage1/stage2 from a checkpoint
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    lr: float = 0.01
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    lr_decay_epochs: int = 5  # step decay ×factor every N epochs (C12)
+    lr_decay_factor: float = 0.1
+    criterion: str = "l1"  # l1 | l2
+    stage_weights: Tuple[float, float] = (1.0, 1.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    data: DataConfig = DataConfig()
+    model: ModelConfig = ModelConfig()
+    optim: OptimConfig = OptimConfig()
+    augment: AugmentConfig = AugmentConfig()
+    batch_size: int = 8
+    epochs: int = 15
+    seed: int = 42
+    output_dir: str = "runs/default"
+    resume: str = ""
+    evaluate: str = ""
+    print_freq: int = 10
+    val_viz_every: int = 50  # comparison PNG every N val batches (C11)
+    mesh_axis: str = "data"
+
+
+def parse_command(argv=None) -> TrainConfig:
+    """Reference-compatible CLI (upstream:utils.py::parse_command)."""
+    p = argparse.ArgumentParser(description="radar_depth_tpu training harness")
+    p.add_argument("--arch", default="resnet18_latefusion",
+                   choices=sorted(ARCH_REGISTRY))
+    p.add_argument("--modality", default="rgbd", choices=sorted(MODALITY_CHANNELS))
+    p.add_argument("--decoder", default="upproj", choices=list(DECODER_KINDS))
+    p.add_argument("-c", "--criterion", default="l1", choices=["l1", "l2"])
+    p.add_argument("-b", "--batch-size", type=int, default=8)
+    p.add_argument("--epochs", type=int, default=15)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--weight-decay", type=float, default=1e-4)
+    p.add_argument("--workers", type=int, default=0,
+                   help="accepted for reference-recipe compat; host loading "
+                        "is batched+native here, so unused")
+    p.add_argument("--resume", default="", metavar="CKPT")
+    p.add_argument("--evaluate", default="", metavar="CKPT")
+    p.add_argument("--output-dir", default="runs/default")
+    p.add_argument("--seed", type=int, default=42)
+    # data
+    p.add_argument("--dataset", default="synthetic", choices=["synthetic", "packed"])
+    p.add_argument("--data-root", default="")
+    p.add_argument("--height", type=int, default=450)
+    p.add_argument("--width", type=int, default=800)
+    p.add_argument("--num-sweeps", type=int, default=5)
+    p.add_argument("--max-depth", type=float, default=80.0)
+    p.add_argument("--height-extension", type=int, default=0)
+    p.add_argument("--num-train", type=int, default=256)
+    p.add_argument("--num-val", type=int, default=64)
+    # model extras
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--filter-mode", default="abs", choices=["abs", "rel", "or"])
+    p.add_argument("--abs-threshold", type=float, default=2.0)
+    p.add_argument("--rel-threshold", type=float, default=0.15)
+    p.add_argument("--pretrained", default="")
+    p.add_argument("--stage1-path", default="")
+    # schedule
+    p.add_argument("--lr-decay-epochs", type=int, default=5)
+    p.add_argument("--lr-decay-factor", type=float, default=0.1)
+    a = p.parse_args(argv)
+    return TrainConfig(
+        data=DataConfig(
+            dataset=a.dataset, data_root=a.data_root, height=a.height,
+            width=a.width, num_sweeps=a.num_sweeps, max_depth=a.max_depth,
+            height_extension=a.height_extension, num_train=a.num_train,
+            num_val=a.num_val, seed=a.seed,
+        ),
+        model=ModelConfig(
+            arch=a.arch, modality=a.modality, decoder=a.decoder, dtype=a.dtype,
+            filter_mode=a.filter_mode, abs_threshold=a.abs_threshold,
+            rel_threshold=a.rel_threshold, pretrained=a.pretrained,
+            stage1_path=a.stage1_path,
+        ),
+        optim=OptimConfig(
+            lr=a.lr, momentum=a.momentum, weight_decay=a.weight_decay,
+            lr_decay_epochs=a.lr_decay_epochs, lr_decay_factor=a.lr_decay_factor,
+            criterion=a.criterion,
+        ),
+        batch_size=a.batch_size, epochs=a.epochs, seed=a.seed,
+        output_dir=a.output_dir, resume=a.resume, evaluate=a.evaluate,
+    )

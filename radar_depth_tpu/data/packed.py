@@ -1,0 +1,262 @@
+"""Packed binary shard format + native loader bindings.
+
+Replaces the reference's per-sample pickle files + torch DataLoader worker
+processes (upstream:main.py::create_data_loaders; SURVEY.md §3.1 "PROCESS
+BOUNDARY") with a TPU-friendly design: all samples of a split live in ONE
+fixed-record binary file (schema.py shapes ⇒ every record is the same size),
+mmap'd by a C++ loader (native/rdtp_loader.cc) whose worker threads assemble
+shuffled batches into reusable buffers ahead of the consumer. Batches arrive
+as zero-copy numpy views ready for jax.device_put.
+
+The pure-Python fallback (PackedDataset without the .so) keeps tests and
+exotic platforms working; the native path is used automatically when librdtp
+builds (make -C native).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import struct
+import subprocess
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from radar_depth_tpu.data import schema
+
+MAGIC = b"RDTPACK1"
+_DTYPES = [np.dtype(np.uint8), np.dtype(np.float32), np.dtype(np.bool_),
+           np.dtype(np.int32), np.dtype(np.float64), np.dtype(np.int64)]
+_DTYPE_CODE = {dt: i for i, dt in enumerate(_DTYPES)}
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+
+
+def _align64(n: int) -> int:
+    return (n + 63) & ~63
+
+
+def build_header(fields: List[Tuple[str, np.dtype, tuple]], num_samples: int
+                 ) -> Tuple[bytes, int, Dict[str, tuple]]:
+    """fields: [(name, dtype, shape)] → (header bytes, record_size, layout).
+    layout[name] = (offset, nbytes, dtype, shape)."""
+    layout = {}
+    offset = 0
+    body = b""
+    for name, dt, shape in fields:
+        nbytes = int(np.prod(shape, dtype=np.int64)) * dt.itemsize
+        nbytes_aligned = (nbytes + 7) & ~7  # 8-byte align each field
+        layout[name] = (offset, nbytes, dt, tuple(shape))
+        nb = name.encode()
+        body += struct.pack("<I", len(nb)) + nb
+        body += struct.pack("<I", _DTYPE_CODE[dt])
+        body += struct.pack("<I", len(shape))
+        for s in shape:
+            body += struct.pack("<Q", int(s))
+        body += struct.pack("<QQ", offset, nbytes)
+        offset += nbytes_aligned
+    record_size = _align64(offset)
+    head = MAGIC
+    header_size = len(MAGIC) + 8 * 3 + 4 + len(body)
+    head += struct.pack("<QQQ", header_size, num_samples, record_size)
+    head += struct.pack("<I", len(fields))
+    head += body
+    assert len(head) == header_size
+    return head, record_size, layout
+
+
+def parse_header(buf: bytes):
+    assert buf[:8] == MAGIC, "bad magic"
+    header_size, num_samples, record_size = struct.unpack_from("<QQQ", buf, 8)
+    (num_fields,) = struct.unpack_from("<I", buf, 32)
+    off = 36
+    layout = {}
+    for _ in range(num_fields):
+        (nlen,) = struct.unpack_from("<I", buf, off); off += 4
+        name = buf[off: off + nlen].decode(); off += nlen
+        (code,) = struct.unpack_from("<I", buf, off); off += 4
+        (ndim,) = struct.unpack_from("<I", buf, off); off += 4
+        shape = struct.unpack_from(f"<{ndim}Q", buf, off); off += 8 * ndim
+        foff, fbytes = struct.unpack_from("<QQ", buf, off); off += 16
+        layout[name] = (foff, fbytes, _DTYPES[code], tuple(int(s) for s in shape))
+    return header_size, num_samples, record_size, layout
+
+
+def write_shard(path: str, samples, spec: Optional[schema.SampleSpec] = None
+                ) -> None:
+    """Write an iterable of schema Samples to one packed shard file."""
+    samples = list(samples)
+    assert samples, "empty shard"
+    fields = [(k, np.asarray(samples[0][k]).dtype,
+               tuple(np.asarray(samples[0][k]).shape))
+              for k in schema.SAMPLE_KEYS]
+    head, record_size, layout = build_header(fields, len(samples))
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(head)
+        f.write(b"\0" * (_align64(len(head)) - len(head)))
+        rec = bytearray(record_size)
+        for s in samples:
+            rec[:] = b"\0" * record_size
+            for k, (off, nbytes, dt, shape) in layout.items():
+                arr = np.ascontiguousarray(np.asarray(s[k], dtype=dt))
+                rec[off: off + nbytes] = arr.tobytes()
+            f.write(rec)
+
+
+# ---------------------------------------------------------------- native lib
+
+_lib = None
+
+
+def _load_native() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    so = os.path.join(_NATIVE_DIR, "librdtp.so")
+    if not os.path.exists(so):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    lib.rdtp_open.restype = ctypes.c_void_p
+    lib.rdtp_open.argtypes = [ctypes.c_char_p]
+    lib.rdtp_num_samples.restype = ctypes.c_uint64
+    lib.rdtp_num_samples.argtypes = [ctypes.c_void_p]
+    lib.rdtp_record_size.restype = ctypes.c_uint64
+    lib.rdtp_record_size.argtypes = [ctypes.c_void_p]
+    lib.rdtp_header_size.restype = ctypes.c_uint64
+    lib.rdtp_header_size.argtypes = [ctypes.c_void_p]
+    lib.rdtp_read_header.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.rdtp_gather.argtypes = [ctypes.c_void_p,
+                                ctypes.POINTER(ctypes.c_uint64),
+                                ctypes.c_uint64, ctypes.c_char_p]
+    lib.rdtp_close.argtypes = [ctypes.c_void_p]
+    lib.rdtp_loader_create.restype = ctypes.c_void_p
+    lib.rdtp_loader_create.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
+                                       ctypes.c_int, ctypes.c_uint64,
+                                       ctypes.c_uint64, ctypes.c_uint64]
+    lib.rdtp_loader_next.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.rdtp_loader_next.argtypes = [ctypes.c_void_p,
+                                     ctypes.POINTER(ctypes.c_uint64),
+                                     ctypes.POINTER(ctypes.c_uint64)]
+    lib.rdtp_loader_destroy.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    return _load_native() is not None
+
+
+class PackedDataset:
+    """Random-access reader over one packed shard (native mmap when available,
+    numpy memmap fallback). Drop-in for SyntheticNuScenes's batch() API."""
+
+    def __init__(self, path: str, use_native: Optional[bool] = None):
+        if os.path.isdir(path):
+            path = os.path.join(path, "data.rdtp")
+        self.path = path
+        lib = _load_native() if use_native in (None, True) else None
+        if use_native is True and lib is None:
+            raise RuntimeError("native librdtp unavailable")
+        self._lib = lib
+        if lib is not None:
+            self._h = lib.rdtp_open(path.encode())
+            if not self._h:
+                raise IOError(f"rdtp_open failed: {path}")
+            hsize = lib.rdtp_header_size(self._h)
+            buf = ctypes.create_string_buffer(hsize)
+            lib.rdtp_read_header(self._h, buf)
+            (self._header_size, self._n, self._record_size,
+             self.layout) = parse_header(buf.raw)
+        else:
+            with open(path, "rb") as f:
+                head = f.read(16 * 4096)
+            (self._header_size, self._n, self._record_size,
+             self.layout) = parse_header(head)
+            self._mm = np.memmap(path, dtype=np.uint8, mode="r")
+            self._data_off = _align64(self._header_size)
+
+    def __len__(self) -> int:
+        return self._n
+
+    def _unpack(self, raw: np.ndarray, batch: int) -> Dict[str, np.ndarray]:
+        out = {}
+        rec = self._record_size
+        raw = raw.reshape(batch, rec)
+        for k, (off, nbytes, dt, shape) in self.layout.items():
+            arrs = raw[:, off: off + nbytes]
+            out[k] = np.ascontiguousarray(arrs).view(dt).reshape((batch,) + shape)
+        return out
+
+    def batch(self, indices) -> Dict[str, np.ndarray]:
+        idx = np.asarray(list(indices), dtype=np.uint64)
+        b = len(idx)
+        if self._lib is not None:
+            out = np.empty(b * self._record_size, np.uint8)
+            self._lib.rdtp_gather(
+                self._h, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+                b, out.ctypes.data_as(ctypes.c_char_p))
+        else:
+            out = np.empty((b, self._record_size), np.uint8)
+            for i, j in enumerate(idx):
+                start = self._data_off + int(j) * self._record_size
+                out[i] = self._mm[start: start + self._record_size]
+            out = out.reshape(-1)
+        return self._unpack(out, b)
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        b = self.batch([i])
+        return {k: v[0] for k, v in b.items()}
+
+    def close(self):
+        if self._lib is not None and self._h:
+            self._lib.rdtp_close(self._h)
+            self._h = None
+
+
+class NativeBatchLoader:
+    """Prefetching batch iterator backed by the C++ thread-pool loader —
+    the DataLoader(num_workers=k) equivalent. Infinite iterator; consult
+    .epoch to detect epoch boundaries."""
+
+    def __init__(self, dataset: PackedDataset, batch_size: int,
+                 shuffle: bool = True, seed: int = 0, queue_depth: int = 4,
+                 threads: int = 2):
+        if dataset._lib is None:
+            raise RuntimeError("NativeBatchLoader requires librdtp")
+        self.ds = dataset
+        self.batch_size = batch_size
+        self._lib = dataset._lib
+        self._L = self._lib.rdtp_loader_create(
+            dataset._h, batch_size, int(shuffle), seed, queue_depth, threads)
+        self.epoch = 0
+        self.index_in_epoch = 0
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        return self
+
+    def __next__(self) -> Dict[str, np.ndarray]:
+        ep = ctypes.c_uint64()
+        ix = ctypes.c_uint64()
+        ptr = self._lib.rdtp_loader_next(self._L, ctypes.byref(ep),
+                                         ctypes.byref(ix))
+        if not ptr:
+            raise StopIteration
+        self.epoch, self.index_in_epoch = ep.value, ix.value
+        n = self.batch_size * self.ds._record_size
+        raw = np.ctypeslib.as_array(ptr, shape=(n,))
+        return self.ds._unpack(raw, self.batch_size)
+
+    def close(self):
+        if self._L:
+            self._lib.rdtp_loader_destroy(self._L)
+            self._L = None

@@ -1,0 +1,162 @@
+"""Decoder variants: DeConv / UpConv / UpProj (+ the Unpool op), NHWC.
+
+Re-design of upstream:models.py::{DeConv, UpConv, UpProj, Unpool,
+choose_decoder} (SURVEY.md §2 C7b/c): four up-blocks, each doubling spatial
+resolution and halving channels (256 → 128 → 64 → 32 → 16 after the 1×1
+bottleneck conv of a ResNet-18/34).
+
+TPU-first: UpConv/UpProj's "unpool(zero-insert) then KxK conv" is compiled as
+ONE input-dilated convolution (lhs_dilation=2) — the sparse zero-inserted
+tensor never exists in memory, halving HBM traffic for the bandwidth-bound
+decoder chain (SURVEY.md §7 hard part #5). Equivalence with the explicit
+unpool oracle is asserted in tests/test_decoders.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from radar_depth_tpu.models.layers import (
+    DIMSPEC,
+    TorchConvTranspose,
+    fused_unpool_conv_padding,
+    make_norm,
+)
+
+
+class _UnpoolConv(nn.Module):
+    """Fused unpool(stride 2) + KxK conv, the building block of UpConv/UpProj.
+
+    Numerically identical to conv_pad[k//2](unpool_2(x)) with torch-style
+    symmetric padding — see fused_unpool_conv_padding.
+    """
+
+    features: int
+    kernel_size: int
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.he_normal(),
+            (k, k, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=fused_unpool_conv_padding(k, 2),
+            lhs_dilation=(2, 2),
+            dimension_numbers=DIMSPEC,
+        precision=jax.lax.Precision.HIGHEST,
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class DeConvBlock(nn.Module):
+    """ConvTranspose2d(c→c/2, k, stride 2) → BN → ReLU.
+
+    upstream:models.py::DeConv with kernel_size ∈ {2, 3} ("deconv2"/"deconv3"):
+    padding=(k-1)//2, output_padding=k%2 so spatial size exactly doubles."""
+
+    features: int
+    kernel_size: int
+    norm: Callable = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        k = self.kernel_size
+        norm = self.norm or make_norm()
+        y = TorchConvTranspose(
+            self.features, k, stride=2, padding=(k - 1) // 2,
+            output_padding=k % 2, use_bias=False, dtype=self.dtype, name="convt",
+        )(x)
+        y = norm(name="bn")(y, use_running_average=not train)
+        return nn.relu(y)
+
+
+class UpConvBlock(nn.Module):
+    """unpool → 5×5 conv → BN → ReLU (upstream:models.py::UpConv), fused."""
+
+    features: int
+    norm: Callable = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        norm = self.norm or make_norm()
+        y = _UnpoolConv(self.features, 5, dtype=self.dtype, name="conv")(x)
+        y = norm(name="bn")(y, use_running_average=not train)
+        return nn.relu(y)
+
+
+class UpProjBlock(nn.Module):
+    """Laina-style up-projection (upstream:models.py::UpProj): unpool, then
+    residual dual branch {5×5-BN-ReLU-3×3-BN} + {5×5-BN}, add, ReLU. Both
+    branches read the same unpooled tensor; we fuse the unpool into each
+    branch's first conv."""
+
+    features: int
+    norm: Callable = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        norm = self.norm or make_norm()
+        ra = not train
+        b1 = _UnpoolConv(self.features, 5, dtype=self.dtype, name="branch1_conv1")(x)
+        b1 = norm(name="branch1_bn1")(b1, use_running_average=ra)
+        b1 = nn.relu(b1)
+        b1 = nn.Conv(
+            self.features, (3, 3), padding=[(1, 1), (1, 1)],
+            use_bias=False, dtype=self.dtype, precision=jax.lax.Precision.HIGHEST, name="branch1_conv2",
+        )(b1)
+        b1 = norm(name="branch1_bn2")(b1, use_running_average=ra)
+        b2 = _UnpoolConv(self.features, 5, dtype=self.dtype, name="branch2_conv")(x)
+        b2 = norm(name="branch2_bn")(b2, use_running_average=ra)
+        return nn.relu(b1 + b2)
+
+
+class Decoder(nn.Module):
+    """Four up-blocks, halving channels each time (upstream:models.py::
+    choose_decoder). kind ∈ {deconv2, deconv3, upconv, upproj}."""
+
+    kind: str = "upproj"
+    in_channels: int = 256
+    num_layers: int = 4
+    norm: Callable = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        assert x.shape[-1] == self.in_channels
+        features = self.in_channels
+        for i in range(self.num_layers):
+            features //= 2
+            kwargs = dict(norm=self.norm, dtype=self.dtype, name=f"layer{i + 1}")
+            if self.kind == "deconv2":
+                x = DeConvBlock(features, 2, **kwargs)(x, train)
+            elif self.kind == "deconv3":
+                x = DeConvBlock(features, 3, **kwargs)(x, train)
+            elif self.kind == "upconv":
+                x = UpConvBlock(features, **kwargs)(x, train)
+            elif self.kind == "upproj":
+                x = UpProjBlock(features, **kwargs)(x, train)
+            else:
+                raise ValueError(f"unknown decoder kind {self.kind!r}")
+        return x
+
+
+DECODER_KINDS = ("deconv2", "deconv3", "upconv", "upproj")

@@ -1,0 +1,127 @@
+"""Late-fusion two-branch network and the two-stage coarse→refine model.
+
+radar_depth's additions over the sparse-to-dense skeleton (SURVEY.md §2 C7d/e,
+§3.4):
+
+* LateFusionNet — separate image (3ch) and radar (1ch) ResNet encoders, fused
+  at the H/32 bottleneck (channel concat → 1×1 conv), shared decoder.
+* MultiStageNet — stage-1 late-fusion net → coarse depth D₁; radar outlier
+  filtering (drop radar returns whose depth disagrees with D₁ beyond a
+  threshold — abs or relative, both [M] in the survey, so both supported);
+  stage-2 late-fusion net on {rgb, filtered radar} → refined D₂. Returns
+  (D₁, D₂). The filter is pure elementwise masking, so the full two-stage model
+  compiles as a single XLA graph (BASELINE.json requirement).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from radar_depth_tpu.models.decoders import Decoder
+from radar_depth_tpu.models.layers import make_norm, resize_bilinear
+from radar_depth_tpu.models.resnet import ResNetEncoder
+
+
+class LateFusionNet(nn.Module):
+    """Two-branch late fusion: f = concat(enc_img(rgb), enc_radar(radar)) at
+    H/32; 1×1 conv halves to 256; shared decoder → depth."""
+
+    depth: int = 18
+    decoder_kind: str = "upproj"
+    output_size: tuple = (450, 800)
+    radar_width: int = 64  # reference uses a full ResNet radar branch [M]
+    fuse: str = "concat"  # concat | add
+    norm: Callable = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, rgb: jax.Array, radar: jax.Array, train: bool = False):
+        norm = self.norm or make_norm()
+        img_enc = ResNetEncoder(
+            depth=self.depth, in_channels=3, norm=norm, dtype=self.dtype,
+            name="img_encoder",
+        )
+        radar_enc = ResNetEncoder(
+            depth=self.depth, in_channels=1, width=self.radar_width,
+            norm=norm, dtype=self.dtype, name="radar_encoder",
+        )
+        fi = img_enc(rgb, train)
+        fr = radar_enc(radar, train)
+        if self.fuse == "concat":
+            y = jnp.concatenate([fi, fr], axis=-1)
+        elif self.fuse == "add":
+            y = fi + fr
+        else:
+            raise ValueError(self.fuse)
+        c = img_enc.out_channels
+        y = nn.Conv(c // 2, (1, 1), use_bias=False, dtype=self.dtype, precision=jax.lax.Precision.HIGHEST, name="conv2")(y)
+        y = norm(name="bn2")(y, use_running_average=not train)
+        y = Decoder(
+            kind=self.decoder_kind, in_channels=c // 2, norm=norm,
+            dtype=self.dtype, name="decoder",
+        )(y, train)
+        y = nn.Conv(
+            1, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+            dtype=self.dtype, precision=jax.lax.Precision.HIGHEST, name="conv3",
+        )(y)
+        return resize_bilinear(y, *self.output_size).astype(jnp.float32)
+
+
+def filter_radar_by_prediction(
+    radar: jax.Array,
+    pred: jax.Array,
+    abs_threshold: float = 2.0,
+    rel_threshold: float = 0.15,
+    mode: str = "abs",
+) -> jax.Array:
+    """Stage-1 → stage-2 radar outlier rejection (SURVEY.md §3.4 RADAR
+    FILTERING, rule tagged [M]): keep radar pixel r only where
+    |radar(r) − pred(r)| < τ (mode="abs"), or < τ_rel·pred(r) (mode="rel"),
+    or either (mode="or"). Zero (=no return) pixels stay zero."""
+    err = jnp.abs(radar - pred)
+    keep_abs = err < abs_threshold
+    keep_rel = err < rel_threshold * jnp.maximum(pred, 1e-3)
+    if mode == "abs":
+        keep = keep_abs
+    elif mode == "rel":
+        keep = keep_rel
+    elif mode == "or":
+        keep = keep_abs | keep_rel
+    else:
+        raise ValueError(mode)
+    return jnp.where((radar > 0) & keep, radar, 0.0)
+
+
+class MultiStageNet(nn.Module):
+    """Two-stage coarse→refine model (upstream multistage arch; SURVEY.md
+    §3.4). Single jitted graph; returns (coarse, refined)."""
+
+    depth: int = 18
+    decoder_kind: str = "upproj"
+    output_size: tuple = (450, 800)
+    filter_mode: str = "abs"
+    abs_threshold: float = 2.0
+    rel_threshold: float = 0.15
+    norm: Callable = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, rgb: jax.Array, radar: jax.Array, train: bool = False):
+        kwargs = dict(
+            depth=self.depth, decoder_kind=self.decoder_kind,
+            output_size=self.output_size, norm=self.norm, dtype=self.dtype,
+        )
+        coarse = LateFusionNet(**kwargs, name="stage1")(rgb, radar, train)
+        filtered = filter_radar_by_prediction(
+            radar,
+            jax.lax.stop_gradient(coarse),
+            abs_threshold=self.abs_threshold,
+            rel_threshold=self.rel_threshold,
+            mode=self.filter_mode,
+        )
+        refined = LateFusionNet(**kwargs, name="stage2")(rgb, filtered, train)
+        return coarse, refined

@@ -1,0 +1,151 @@
+"""Low-level layers with exact torch-semantics where parity demands it.
+
+The reference model zoo (upstream:models.py — sparse-to-dense skeleton reused
+by radar_depth; SURVEY.md §2 C7) is built from torch Conv2d / ConvTranspose2d /
+MaxPool2d / BatchNorm2d / bilinear Upsample. This module provides NHWC
+(TPU-native layout) equivalents whose numerics match torch exactly so weight
+conversion + parity tests work (SURVEY.md §7 hard parts #3/#4).
+
+Key TPU-first choice: zero-insertion "unpool → conv" stacks (UpConv/UpProj
+blocks) are implemented as a single `lax.conv_general_dilated` with
+``lhs_dilation=2`` — the zeros are never materialized, XLA maps it straight
+onto the MXU. An explicit `unpool` is kept only as a test oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# NHWC activations, HWIO kernels — the native TPU conv layout.
+DIMSPEC = ("NHWC", "HWIO", "NHWC")
+
+
+def unpool_zero_insert(x: jax.Array, stride: int = 2) -> jax.Array:
+    """Reference-oracle unpool: place x[i, j] at (s*i, s*j), zeros elsewhere.
+
+    Matches upstream:models.py::Unpool (a stride-s zero-insertion implemented
+    there as a grouped conv with a one-hot kernel). Output is (N, s*H, s*W, C).
+    Only used in tests — production paths fuse this into the following conv via
+    lhs_dilation (see fused_unpool_conv).
+    """
+    n, h, w, c = x.shape
+    out = jnp.zeros((n, h, stride, w, stride, c), x.dtype)
+    out = out.at[:, :, 0, :, 0, :].set(x)
+    return out.reshape(n, h * stride, w * stride, c)
+
+
+def conv2d(
+    x: jax.Array,
+    kernel: jax.Array,
+    stride: int | Sequence[int] = 1,
+    padding: int | Sequence[int] = 0,
+    lhs_dilation: Sequence[int] | None = None,
+) -> jax.Array:
+    """Plain NHWC conv with torch-style symmetric integer padding."""
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    return jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=tuple(stride),
+        padding=padding,
+        lhs_dilation=lhs_dilation,
+        dimension_numbers=DIMSPEC,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def fused_unpool_conv_padding(kernel_size: int, stride: int = 2) -> tuple:
+    """Padding that makes conv(lhs_dilation=s)(x) == conv_pad_k//2(unpool_s(x)).
+
+    Zero-insertion unpool produces size s*H with the last (s-1) rows zero;
+    input dilation produces (H-1)*s + 1. Appending (s-1) extra zeros on the
+    bottom/right of the dilated input reproduces the unpooled array exactly, so
+    pad = (k//2, k//2 + s - 1).
+    """
+    p = kernel_size // 2
+    return ((p, p + stride - 1), (p, p + stride - 1))
+
+
+class TorchConvTranspose(nn.Module):
+    """ConvTranspose2d with exact torch semantics (stride/padding/
+    output_padding), NHWC.
+
+    torch's transposed conv == conv over the input dilated by `stride`, padded
+    by (k-1-p) per side (+output_padding on bottom/right), with the kernel
+    spatially flipped. Matches upstream:models.py::DeConv layers
+    (ConvTranspose2d(c, c//2, k, stride=2, padding=(k-1)//2,
+    output_padding=k%2); SURVEY.md §2 C7b).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 2
+    padding: int = 0
+    output_padding: int = 0
+    use_bias: bool = False
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k, s, p, op = self.kernel_size, self.stride, self.padding, self.output_padding
+        kernel = self.param(
+            "kernel",
+            nn.initializers.he_normal(),
+            (k, k, x.shape[-1], self.features),
+            self.param_dtype,
+        )
+        dtype = self.dtype or x.dtype
+        kernel = jnp.flip(kernel, axis=(0, 1)).astype(dtype)
+        pad = ((k - 1 - p, k - 1 - p + op), (k - 1 - p, k - 1 - p + op))
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel,
+            window_strides=(1, 1),
+            padding=pad,
+            lhs_dilation=(s, s),
+            dimension_numbers=DIMSPEC,
+        precision=jax.lax.Precision.HIGHEST,
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros_init(), (self.features,), self.param_dtype
+            )
+            y = y + bias.astype(dtype)
+        return y
+
+
+def max_pool_torch(x: jax.Array, window: int = 3, stride: int = 2, padding: int = 1):
+    """MaxPool2d(window, stride, padding) with torch floor-mode semantics —
+    upstream torchvision ResNet stem (SURVEY.md §2 C7a)."""
+    return nn.max_pool(
+        x,
+        window_shape=(window, window),
+        strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+    )
+
+
+def resize_bilinear(x: jax.Array, height: int, width: int) -> jax.Array:
+    """Bilinear resize, half-pixel centers (torch align_corners=False) — the
+    final ×2 upsample in upstream:models.py::ResNet.forward (self.bilinear)."""
+    n, _, _, c = x.shape
+    return jax.image.resize(x, (n, height, width, c), method="bilinear")
+
+
+def make_norm(momentum: float = 0.9, epsilon: float = 1e-5):
+    """BatchNorm factory matching torch BatchNorm2d(momentum=0.1, eps=1e-5):
+    flax's `momentum` is the running-average retain factor = 1 - torch momentum
+    (SURVEY.md §7 hard part #3)."""
+    import functools
+
+    return functools.partial(
+        nn.BatchNorm, momentum=momentum, epsilon=epsilon, param_dtype=jnp.float32
+    )

@@ -1,0 +1,134 @@
+"""Fused on-device input pipeline: raw schema batch → model inputs.
+
+This is the reference's entire L2 runtime path — pickle → transforms →
+modality packing (upstream:dataloaders/dataloader.py::MyDataloader.__getitem__
++ transforms.py; SURVEY.md §3.1 host hot loop) — moved inside the jitted graph
+per BASELINE.json ("batched preproc + augmentation ... on TPU mesh"). The host
+only ships raw fixed-shape arrays; everything else (radar accumulation,
+projection, rasterization, augmentation, normalization) is XLA.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from radar_depth_tpu.data.schema import SampleSpec
+from radar_depth_tpu.ops.augment import (
+    AugmentConfig,
+    apply_affine_uv,
+    color_jitter,
+    make_affine,
+    sample_affine_params,
+    warp_image_bilinear,
+)
+from radar_depth_tpu.ops.geometry import project_points
+from radar_depth_tpu.ops.raster import (
+    accumulate_sweeps,
+    extend_height,
+    rasterize_min_depth,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class PreprocessConfig:
+    spec: SampleSpec = SampleSpec()
+    height_extension: int = 0  # radar vertical extension (paper ablation)
+    augment: AugmentConfig = AugmentConfig()
+
+
+def _radar_uvz(batch: Dict, spec: SampleSpec):
+    """Accumulated multi-sweep radar → projected (uv, z, valid)."""
+    pts_cam, valid = accumulate_sweeps(
+        batch["radar_points"], batch["radar_valid"], batch["radar_transform"]
+    )
+    uv, z = project_points(pts_cam, batch["intrinsics"])
+    return uv, z, valid
+
+
+def _lidar_uvz(batch: Dict):
+    uv, z = project_points(batch["lidar_points"], batch["intrinsics"])
+    return uv, z, batch["lidar_valid"]
+
+
+def _raster(uv, z, valid, spec: SampleSpec, height_extension: int = 0):
+    if height_extension > 0:
+        offsets = jnp.arange(-height_extension, height_extension + 1)
+        uv, z, valid = extend_height(uv, z, valid, offsets)
+    return rasterize_min_depth(
+        uv, z, valid, spec.height, spec.width,
+        min_depth=spec.min_depth, max_depth=spec.max_depth,
+    )[..., None]
+
+
+def prepare_eval_batch(batch: Dict, cfg: PreprocessConfig) -> Dict[str, jax.Array]:
+    """Validation-path inputs: no augmentation (upstream val_transform is just
+    resize/crop/to-tensor; our schema ships data already at working res).
+
+    Returns {rgb (B,H,W,3) f32 in [0,1], radar (B,H,W,1), target (B,H,W,1)}.
+    """
+    spec = cfg.spec
+    rgb = batch["image"].astype(jnp.float32) / 255.0
+    radar = _raster(*_radar_uvz(batch, spec), spec, cfg.height_extension)
+    target = batch["lidar_depth"][..., None].astype(jnp.float32)
+    return {"rgb": rgb, "radar": radar, "target": target}
+
+
+def prepare_train_batch(
+    batch: Dict, cfg: PreprocessConfig, key: jax.Array
+) -> Dict[str, jax.Array]:
+    """Training-path inputs with on-device augmentation.
+
+    Reference semantics (upstream transforms; SURVEY.md §2 C4): per-sample
+    random scale s∈[1,1.5] + rotation ±5° + hflip + color jitter; depth values
+    divided by s. Here the image is warped once bilinearly; radar and LiDAR GT
+    are re-projected through the same pixel affine and re-rasterized (exact —
+    no nearest-neighbor smearing of sparse depth).
+    """
+    spec, aug = cfg.spec, cfg.augment
+    rgb = batch["image"].astype(jnp.float32) / 255.0
+    if not aug.enabled:
+        radar = _raster(*_radar_uvz(batch, spec), spec, cfg.height_extension)
+        # GT from points so train/eval paths share the code (identical result
+        # to the stored map — tested in test_synthetic.py).
+        target = _raster(*_lidar_uvz(batch), spec)
+        return {"rgb": rgb, "radar": radar, "target": target}
+
+    b = rgb.shape[0]
+    scale, angle, flip, jitter = sample_affine_params(key, aug, b)
+    A = make_affine(scale, angle, flip, spec.height, spec.width)
+
+    rgb = jax.vmap(warp_image_bilinear)(rgb, A)
+    rgb = color_jitter(rgb, jitter)
+
+    def aug_raster(uv, z, valid, he):
+        uv = apply_affine_uv(A, uv)
+        z = z / scale[:, None]  # zoom-in by s ⇒ depth / s (reference rule)
+        return _raster(uv, z, valid, spec, he)
+
+    radar = aug_raster(*_radar_uvz(batch, spec), cfg.height_extension)
+    target = aug_raster(*_lidar_uvz(batch), 0)
+    return {"rgb": rgb, "radar": radar, "target": target}
+
+
+def pack_model_inputs(
+    prepared: Dict[str, jax.Array], input_kind: str, modality: str = "rgbd"
+) -> Tuple:
+    """Assemble the model's positional inputs from a prepared batch.
+
+    single+rgb → (rgb,); single+rgbd → (concat(rgb, radar),); single+d →
+    (radar,); late → (rgb, radar). Mirrors the reference's modality packing in
+    upstream:dataloaders (SURVEY.md §3.1)."""
+    rgb, radar = prepared["rgb"], prepared["radar"]
+    if input_kind == "late":
+        return rgb, radar
+    if modality == "rgb":
+        return (rgb,)
+    if modality == "rgbd":
+        return (jnp.concatenate([rgb, radar], axis=-1),)
+    if modality == "d":
+        return (radar,)
+    raise ValueError(f"unknown modality {modality!r}")

@@ -1,0 +1,54 @@
+"""Mesh construction and batch sharding for the data-parallel training path."""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: Optional[Sequence] = None, axis: str = "data") -> Mesh:
+    """1-axis mesh over all (or given) devices. On a v5e-8 slice this is the
+    8-chip ICI ring; on the 8-fake-device CPU backend it exercises the same
+    GSPMD partitioning (SURVEY.md §4 item 4)."""
+    devices = list(devices if devices is not None else jax.devices())
+    return Mesh(np.array(devices), (axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dimension over the mesh; all other dims
+    replicated. Applies to every leaf of a batch pytree."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict, mesh: Mesh, axis: str = "data") -> Dict:
+    """Device-put a host batch with its leading axis sharded over the mesh."""
+    sharding = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def pad_batch_to(batch: Dict, size: int) -> Dict:
+    """Pad a ragged final batch up to `size` by repeating the last sample.
+
+    Shape-static jit requires fixed batch sizes; eval correctness is preserved
+    by also returning the true count so metric sums can mask the padding
+    (padding samples get an all-zero target ⇒ the metrics layer already skips
+    them via its has_valid logic when we zero the target)."""
+    import numpy as np
+
+    n = next(iter(batch.values())).shape[0]
+    if n == size:
+        return batch, n
+    out = {}
+    for k, v in batch.items():
+        pad = np.repeat(v[-1:], size - n, axis=0)
+        if k in ("lidar_depth", "lidar_valid"):
+            pad = np.zeros_like(pad)  # padding contributes no valid GT
+        out[k] = np.concatenate([v, pad], axis=0)
+    return out, n

@@ -1,0 +1,98 @@
+"""Checkpoint/resume with reference semantics on orbax (SURVEY.md §5):
+per-epoch checkpoints + a `model_best` copy when val RMSE improves;
+--resume restores params/batch_stats/optimizer/epoch/best; --evaluate loads
+for validation only (upstream:utils.py::save_checkpoint, upstream:main.py
+resume branch; C10).
+
+Unlike the reference (which pickles the whole nn.Module), checkpoints are pure
+pytrees {state, epoch, best_rmse} — portable across code versions and
+shardings (orbax restores to whatever mesh the state template carries).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from radar_depth_tpu.train.state import TrainState
+
+
+def _abs(path: str) -> str:
+    return os.path.abspath(path)
+
+
+class CheckpointManager:
+    def __init__(self, output_dir: str, max_to_keep: int = 3):
+        self.dir = _abs(os.path.join(output_dir, "checkpoints"))
+        os.makedirs(self.dir, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True,
+                best_fn=lambda m: m["rmse"], best_mode="min",
+            ),
+        )
+
+    def save(self, epoch: int, state: TrainState, metrics: Dict[str, float]) -> None:
+        payload = {
+            "state": jax.tree_util.tree_map(np.asarray, state),
+            "epoch": epoch,
+            "rmse": float(metrics.get("rmse", np.inf)),
+        }
+        self._mgr.save(
+            epoch,
+            args=ocp.args.StandardSave(payload),
+            metrics={"rmse": float(metrics.get("rmse", np.inf))},
+        )
+        self._mgr.wait_until_finished()
+
+    def restore(self, state_template: TrainState, step: Optional[int] = None
+                ) -> Tuple[TrainState, int]:
+        step = self._mgr.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.dir}")
+        template = {
+            "state": jax.tree_util.tree_map(np.asarray, state_template),
+            "epoch": 0,
+            "rmse": float("inf"),
+        }
+        payload = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+        return payload["state"], int(payload["epoch"])
+
+    def best_step(self) -> Optional[int]:
+        return self._mgr.best_step()
+
+    def close(self):
+        self._mgr.close()
+
+
+def restore_for_evaluate(path: str, state_template: TrainState) -> TrainState:
+    """--evaluate CKPT: load a checkpoint directory produced by
+    CheckpointManager (either the run dir or a specific step dir)."""
+    path = _abs(path)
+    if os.path.basename(path).isdigit():
+        run_dir = os.path.dirname(path)
+        step = int(os.path.basename(path))
+    else:
+        if os.path.basename(path) != "checkpoints":
+            path = os.path.join(path, "checkpoints")
+        mgr = ocp.CheckpointManager(path)
+        step = mgr.best_step() or mgr.latest_step()
+        mgr.close()
+        run_dir = path
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {path}")
+    ckptr = ocp.StandardCheckpointer()
+    template = {
+        "state": jax.tree_util.tree_map(np.asarray, state_template),
+        "epoch": 0,
+        "rmse": float("inf"),
+    }
+    payload = ckptr.restore(
+        os.path.join(run_dir, str(step), "default"), template
+    )
+    return payload["state"]

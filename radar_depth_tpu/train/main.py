@@ -1,0 +1,29 @@
+"""CLI entry point (upstream:main.py::__main__; SURVEY.md §3.1/§3.2):
+
+  train:     python -m radar_depth_tpu.train.main --arch resnet18_latefusion ...
+  resume:    ... --resume runs/exp1
+  evaluate:  ... --evaluate runs/exp1
+"""
+
+from __future__ import annotations
+
+import sys
+
+from radar_depth_tpu.config import parse_command
+from radar_depth_tpu.train.loop import Trainer
+
+
+def main(argv=None) -> int:
+    cfg = parse_command(argv)
+    trainer = Trainer(cfg)
+    if cfg.evaluate:
+        trainer.load_for_evaluate()
+        metrics = trainer.validate(epoch=0)
+        print("validation:", {k: round(v, 4) for k, v in metrics.items()})
+        return 0
+    trainer.fit()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,133 @@
+"""Jitted train / eval step builders.
+
+One call = the whole per-batch pipeline of the reference's hot loops
+(upstream:main.py::train / validate; SURVEY.md §3.1/§3.2) fused into a single
+XLA program: on-device preprocessing+augmentation → forward (+ two-stage radar
+filtering) → masked loss → backward → SGD update → on-device metric sums.
+Raw schema batches go in; only scalars come back out.
+
+Sharding: steps are written in global semantics; the caller jits them with the
+batch sharded over the data mesh and state replicated (parallel/mesh.py), and
+GSPMD inserts the cross-chip psums for loss/metric reductions.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from radar_depth_tpu.config import TrainConfig
+from radar_depth_tpu.metrics import compute_metric_sums
+from radar_depth_tpu.models import ArchSpec
+from radar_depth_tpu.objectives import get_loss, multistage_loss
+from radar_depth_tpu.ops.preprocess import (
+    PreprocessConfig,
+    pack_model_inputs,
+    prepare_eval_batch,
+    prepare_train_batch,
+)
+from radar_depth_tpu.train.state import TrainState
+
+
+def make_preprocess_config(cfg: TrainConfig) -> PreprocessConfig:
+    return PreprocessConfig(
+        spec=cfg.data.sample_spec(),
+        height_extension=cfg.data.height_extension,
+        augment=cfg.augment,
+    )
+
+
+def _forward(model, spec: ArchSpec, variables, prepared, cfg: TrainConfig,
+             train: bool, mutable):
+    inputs = pack_model_inputs(prepared, spec.input_kind, cfg.model.modality)
+    out = model.apply(variables, *inputs, train=train, mutable=mutable)
+    return out
+
+
+def _loss_and_pred(out, target, cfg: TrainConfig, spec: ArchSpec):
+    if spec.multistage:
+        loss = multistage_loss(out, target, cfg.optim.criterion,
+                               cfg.optim.stage_weights)
+        pred = out[1]
+    else:
+        loss = get_loss(cfg.optim.criterion)(out, target)
+        pred = out
+    return loss, pred
+
+
+def make_train_step(model, spec: ArchSpec, cfg: TrainConfig,
+                    tx: optax.GradientTransformation) -> Callable:
+    pre_cfg = make_preprocess_config(cfg)
+
+    def train_step(state: TrainState, batch: Dict, key: jax.Array
+                   ) -> Tuple[TrainState, Dict]:
+        key = jax.random.fold_in(key, state.step)
+        prepared = prepare_train_batch(batch, pre_cfg, key)
+        target = prepared["target"]
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            out, mut = _forward(model, spec, variables, prepared, cfg,
+                                train=True, mutable=["batch_stats"])
+            loss, pred = _loss_and_pred(out, target, cfg, spec)
+            return loss, (mut["batch_stats"], pred)
+
+        (loss, (batch_stats, pred)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=params,
+            batch_stats=batch_stats, opt_state=opt_state,
+        )
+        sums = compute_metric_sums(pred, target)
+        sums["loss"] = loss.astype(jnp.float32)
+        return new_state, sums
+
+    return train_step
+
+
+def make_eval_step(model, spec: ArchSpec, cfg: TrainConfig) -> Callable:
+    pre_cfg = make_preprocess_config(cfg)
+
+    def eval_step(params, batch_stats, batch: Dict) -> Dict:
+        prepared = prepare_eval_batch(batch, pre_cfg)
+        variables = {"params": params, "batch_stats": batch_stats}
+        out = _forward(model, spec, variables, prepared, cfg,
+                       train=False, mutable=False)
+        loss, pred = _loss_and_pred(out, prepared["target"], cfg, spec)
+        sums = compute_metric_sums(pred, prepared["target"])
+        sums["loss"] = loss.astype(jnp.float32)
+        return sums
+
+    return eval_step
+
+
+def make_predict_fn(model, spec: ArchSpec, cfg: TrainConfig) -> Callable:
+    """Full-resolution prediction (for viz panels / inference benchmarks):
+    returns {rgb, radar, target, pred} all at (B, H, W, ·)."""
+    pre_cfg = make_preprocess_config(cfg)
+
+    def predict(params, batch_stats, batch: Dict) -> Dict:
+        prepared = prepare_eval_batch(batch, pre_cfg)
+        variables = {"params": params, "batch_stats": batch_stats}
+        out = _forward(model, spec, variables, prepared, cfg,
+                       train=False, mutable=False)
+        _, pred = _loss_and_pred(out, prepared["target"], cfg, spec)
+        return dict(prepared, pred=pred)
+
+    return predict
+
+
+def init_model(model, spec: ArchSpec, cfg: TrainConfig, key: jax.Array):
+    """Initialize variables with a dummy batch of the working resolution."""
+    h, w = cfg.data.height, cfg.data.width
+    rgb = jnp.zeros((1, h, w, 3), jnp.float32)
+    radar = jnp.zeros((1, h, w, 1), jnp.float32)
+    prepared = {"rgb": rgb, "radar": radar}
+    inputs = pack_model_inputs(prepared, spec.input_kind, cfg.model.modality)
+    return model.init(key, *inputs, train=False)

@@ -1,18 +1,13 @@
 """Test configuration: force JAX onto the CPU backend with 8 fake devices so
 sharding/pjit paths are exercised without TPU hardware (SURVEY.md §4 item 4).
 
-Must set env vars before the first jax import anywhere in the test process.
+Note: this machine's axon sitecustomize calls jax.config.update(
+"jax_platforms", "axon,cpu") at interpreter start, so env vars alone are NOT
+enough — the config must be overridden after import, before first backend use.
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
-import jax  # noqa: E402
-
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,100 @@
+"""Model zoo tests: fused-unpool equivalence, torch conv-transpose parity
+(SURVEY.md §7 hard part #4), shapes/finiteness for every registered arch, and
+the multistage radar filter."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from radar_depth_tpu.models import create_model, ARCH_REGISTRY, filter_radar_by_prediction
+from radar_depth_tpu.models.layers import (
+    conv2d,
+    fused_unpool_conv_padding,
+    unpool_zero_insert,
+    TorchConvTranspose,
+)
+
+RNG = np.random.default_rng(0)
+OUT = (64, 96)  # tiny but /32-able working size for tests
+
+
+def test_unpool_fusion_exact():
+    """conv(lhs_dilation=2) with our padding == conv(pad=k//2)(explicit unpool)."""
+    x = jnp.asarray(RNG.normal(size=(2, 5, 7, 3)).astype(np.float32))
+    for k in (3, 5):
+        w = jnp.asarray(RNG.normal(size=(k, k, 3, 4)).astype(np.float32))
+        explicit = conv2d(unpool_zero_insert(x), w, stride=1, padding=k // 2)
+        fused = conv2d(x, w, stride=1,
+                       padding=fused_unpool_conv_padding(k, 2), lhs_dilation=(2, 2))
+        assert explicit.shape == (2, 10, 14, 4)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(explicit), atol=1e-5)
+
+
+@pytest.mark.parametrize("k,p,op", [(2, 0, 0), (3, 1, 1)])  # deconv2 / deconv3
+def test_conv_transpose_matches_torch(k, p, op):
+    import torch
+    import torch.nn.functional as F
+
+    x = RNG.normal(size=(2, 6, 9, 5)).astype(np.float32)
+    w = RNG.normal(size=(k, k, 5, 4)).astype(np.float32)  # HWIO
+    mod = TorchConvTranspose(4, k, stride=2, padding=p, output_padding=op)
+    params = {"params": {"kernel": jnp.asarray(w)}}
+    got = np.asarray(mod.apply(params, jnp.asarray(x)))
+    # torch: NCHW input, weight (in, out, kh, kw)
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    wt = torch.from_numpy(w.transpose(2, 3, 0, 1))
+    want = F.conv_transpose2d(xt, wt, stride=2, padding=p, output_padding=op)
+    want = want.numpy().transpose(0, 2, 3, 1)
+    assert got.shape == want.shape == (2, 12, 18, 4)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+@pytest.mark.parametrize("arch", ["resnet18", "resnet18_latefusion", "resnet18_multistage"])
+@pytest.mark.parametrize("decoder", ["upproj", "deconv3"])
+def test_arch_forward_shapes(arch, decoder):
+    model, spec = create_model(arch, decoder=decoder, output_size=OUT)
+    key = jax.random.PRNGKey(0)
+    rgb = jnp.asarray(RNG.uniform(size=(1, *OUT, 3)).astype(np.float32))
+    radar = jnp.asarray((RNG.uniform(size=(1, *OUT, 1)) > 0.99).astype(np.float32) * 20)
+    if spec.input_kind == "single":
+        rgbd = jnp.concatenate([rgb, radar], axis=-1)
+        variables = model.init(key, rgbd, train=False)
+        out = model.apply(variables, rgbd, train=False)
+    else:
+        variables = model.init(key, rgb, radar, train=False)
+        out = model.apply(variables, rgb, radar, train=False)
+    if spec.multistage:
+        assert isinstance(out, tuple) and len(out) == 2
+        for o in out:
+            assert o.shape == (1, *OUT, 1)
+            assert np.isfinite(np.asarray(o)).all()
+    else:
+        assert out.shape == (1, *OUT, 1)
+        assert np.isfinite(np.asarray(out)).all()
+    # train-mode apply must update batch_stats
+    if spec.input_kind == "single":
+        rgbd = jnp.concatenate([rgb, radar], axis=-1)
+        _, mut = model.apply(variables, rgbd, train=True, mutable=["batch_stats"])
+    else:
+        _, mut = model.apply(variables, rgb, radar, train=True, mutable=["batch_stats"])
+    assert "batch_stats" in mut
+
+
+def test_registry_complete():
+    assert set(ARCH_REGISTRY) == {
+        "resnet18", "resnet34",
+        "resnet18_latefusion", "resnet34_latefusion",
+        "resnet18_multistage", "resnet34_multistage",
+    }
+
+
+def test_filter_radar_by_prediction():
+    radar = jnp.asarray([[0.0, 10.0, 10.0, 50.0]])
+    pred = jnp.asarray([[5.0, 11.0, 30.0, 50.5]])
+    out = np.asarray(filter_radar_by_prediction(radar, pred, abs_threshold=2.0, mode="abs"))
+    np.testing.assert_array_equal(out, [[0.0, 10.0, 0.0, 50.0]])
+    out = np.asarray(filter_radar_by_prediction(radar, pred, rel_threshold=0.15, mode="rel"))
+    np.testing.assert_array_equal(out, [[0.0, 10.0, 0.0, 50.0]])
+    # zero pixels never resurrected
+    assert np.asarray(filter_radar_by_prediction(jnp.zeros((1, 4)), pred))[0].sum() == 0

@@ -1,0 +1,76 @@
+"""Packed shard format + native C++ loader tests."""
+
+import numpy as np
+import pytest
+
+from radar_depth_tpu.data import SyntheticNuScenes, SampleSpec
+from radar_depth_tpu.data import packed
+from radar_depth_tpu.data.schema import SAMPLE_KEYS
+
+SPEC = SampleSpec(height=48, width=64, lidar_points=512, num_sweeps=2)
+
+
+@pytest.fixture(scope="module")
+def shard(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("shard") / "data.rdtp")
+    ds = SyntheticNuScenes(10, spec=SPEC, seed=3)
+    packed.write_shard(path, [ds[i] for i in range(10)])
+    return path, ds
+
+
+def test_header_roundtrip(shard):
+    path, _ = shard
+    with open(path, "rb") as f:
+        buf = f.read(65536)
+    hs, n, rec, layout = packed.parse_header(buf)
+    assert n == 10
+    assert set(layout) == set(SAMPLE_KEYS)
+    assert rec % 64 == 0
+
+
+def test_python_reader_roundtrip(shard):
+    path, ds = shard
+    r = packed.PackedDataset(path, use_native=False)
+    assert len(r) == 10
+    for i in (0, 7, 9):
+        got = r[i]
+        want = ds[i]
+        for k in SAMPLE_KEYS:
+            np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
+
+def test_native_reader_matches_python(shard):
+    path, ds = shard
+    if not packed.native_available():
+        pytest.skip("librdtp did not build")
+    r = packed.PackedDataset(path, use_native=True)
+    batch = r.batch([2, 5, 5, 0])
+    for k in SAMPLE_KEYS:
+        np.testing.assert_array_equal(batch[k][0], ds[2][k], err_msg=k)
+        np.testing.assert_array_equal(batch[k][1], ds[5][k], err_msg=k)
+        np.testing.assert_array_equal(batch[k][2], ds[5][k], err_msg=k)
+        np.testing.assert_array_equal(batch[k][3], ds[0][k], err_msg=k)
+    r.close()
+
+
+def test_native_batch_loader_covers_epoch(shard):
+    path, ds = shard
+    if not packed.native_available():
+        pytest.skip("librdtp did not build")
+    r = packed.PackedDataset(path, use_native=True)
+    loader = packed.NativeBatchLoader(r, batch_size=5, shuffle=True, seed=1,
+                                      threads=2)
+    seen = []
+    batches = [next(loader) for _ in range(4)]  # 2 epochs of 2 batches
+    for b in batches:
+        assert b["image"].shape == (5, 48, 64, 3)
+        # identify sample indices by matching intrinsics+image hash
+        for i in range(5):
+            for j in range(10):
+                if np.array_equal(b["image"][i], ds[j]["image"]):
+                    seen.append(j)
+                    break
+    # first epoch (10 samples over 2 batches) must be a permutation
+    assert sorted(seen[:10]) == list(range(10))
+    loader.close()
+    r.close()

@@ -1,0 +1,117 @@
+"""Forward-pass parity: torch oracle vs flax model with converted weights
+(SURVEY.md §4 item 3; BASELINE.json "reproduces predicted depth maps within
+float tolerance")."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from radar_depth_tpu.models import create_model
+from radar_depth_tpu.oracle.torch_model import (
+    TorchDepthNet,
+    TorchLateFusionNet,
+    TorchMultiStageNet,
+)
+from radar_depth_tpu.utils.torch_convert import (
+    torch_state_dict_to_variables,
+    variables_to_torch_state_dict,
+)
+
+OUT = (64, 96)
+RNG = np.random.default_rng(3)
+
+
+def _warm_bn(tmodel, args):
+    """Run a few train-mode passes so BN running stats are non-trivial — makes
+    the conversion test actually exercise batch_stats mapping."""
+    tmodel.train()
+    with torch.no_grad():
+        for _ in range(3):
+            tmodel(*args)
+    tmodel.eval()
+
+
+def _inputs(batch=2):
+    rgb = RNG.uniform(size=(batch, *OUT, 3)).astype(np.float32)
+    radar = (RNG.uniform(size=(batch, *OUT, 1)) > 0.985).astype(np.float32)
+    radar *= RNG.uniform(3, 70, size=radar.shape).astype(np.float32)
+    to_t = lambda x: torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+    return (rgb, radar), (to_t(rgb), to_t(radar))
+
+
+@pytest.mark.parametrize("decoder", ["upproj", "upconv", "deconv2", "deconv3"])
+def test_depthnet_parity(decoder):
+    torch.manual_seed(0)
+    (rgb, radar), (trgb, tradar) = _inputs()
+    rgbd = np.concatenate([rgb, radar], axis=-1)
+    trgbd = torch.cat([trgb, tradar], dim=1)
+
+    tmodel = TorchDepthNet(18, 4, decoder, OUT)
+    _warm_bn(tmodel, (trgbd,))
+    with torch.no_grad():
+        want = tmodel(trgbd).numpy().transpose(0, 2, 3, 1)
+
+    model, _ = create_model("resnet18", modality="rgbd", decoder=decoder,
+                            output_size=OUT)
+    template = model.init(jax.random.PRNGKey(0), jnp.asarray(rgbd), train=False)
+    variables = torch_state_dict_to_variables(tmodel.state_dict(), template)
+    got = np.asarray(model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(rgbd), train=False))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_latefusion_parity():
+    torch.manual_seed(1)
+    (rgb, radar), (trgb, tradar) = _inputs()
+    tmodel = TorchLateFusionNet(18, "upproj", OUT)
+    _warm_bn(tmodel, (trgb, tradar))
+    with torch.no_grad():
+        want = tmodel(trgb, tradar).numpy().transpose(0, 2, 3, 1)
+    model, _ = create_model("resnet18_latefusion", decoder="upproj", output_size=OUT)
+    template = model.init(jax.random.PRNGKey(0), jnp.asarray(rgb),
+                          jnp.asarray(radar), train=False)
+    variables = torch_state_dict_to_variables(tmodel.state_dict(), template)
+    got = np.asarray(model.apply(variables, jnp.asarray(rgb), jnp.asarray(radar),
+                                 train=False))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_multistage_parity():
+    torch.manual_seed(2)
+    (rgb, radar), (trgb, tradar) = _inputs()
+    tmodel = TorchMultiStageNet(18, "deconv3", OUT, abs_threshold=2.0)
+    _warm_bn(tmodel, (trgb, tradar))
+    with torch.no_grad():
+        want_c, want_r = tmodel(trgb, tradar)
+    model, _ = create_model("resnet18_multistage", decoder="deconv3",
+                            output_size=OUT)
+    template = model.init(jax.random.PRNGKey(0), jnp.asarray(rgb),
+                          jnp.asarray(radar), train=False)
+    variables = torch_state_dict_to_variables(tmodel.state_dict(), template)
+    got_c, got_r = model.apply(variables, jnp.asarray(rgb), jnp.asarray(radar),
+                               train=False)
+    np.testing.assert_allclose(np.asarray(got_c),
+                               want_c.numpy().transpose(0, 2, 3, 1),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_r),
+                               want_r.numpy().transpose(0, 2, 3, 1),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_roundtrip_conversion():
+    """jax → torch → jax is the identity."""
+    model, _ = create_model("resnet18", modality="rgb", decoder="deconv2",
+                            output_size=OUT)
+    x = jnp.asarray(RNG.uniform(size=(1, *OUT, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(7), x, train=False)
+    sd = variables_to_torch_state_dict(variables)
+    back = torch_state_dict_to_variables(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        variables)
+    flat_a = jax.tree_util.tree_leaves(variables)
+    flat_b = jax.tree_util.tree_leaves(back)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

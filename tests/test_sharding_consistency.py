@@ -1,0 +1,43 @@
+"""DP sharding must not change numerics: eval metrics on an 8-device mesh
+equal the single-device result (SURVEY.md §4 item 4)."""
+
+import numpy as np
+import jax
+
+from radar_depth_tpu.config import DataConfig, ModelConfig, OptimConfig, TrainConfig
+from radar_depth_tpu.data.synthetic import SyntheticNuScenes
+from radar_depth_tpu.models import create_model
+from radar_depth_tpu.parallel import batch_sharding, make_mesh, replicated_sharding, shard_batch
+from radar_depth_tpu.train.step import init_model, make_eval_step
+
+
+def test_eval_metrics_match_across_mesh_sizes():
+    cfg = TrainConfig(
+        data=DataConfig(height=64, width=96, num_sweeps=2, num_val=8),
+        model=ModelConfig(arch="resnet18", modality="rgbd", decoder="deconv2"),
+        optim=OptimConfig(),
+        batch_size=8,
+    )
+    spec = cfg.data.sample_spec()
+    model, arch_spec = create_model(cfg.model.arch, modality="rgbd",
+                                    decoder="deconv2",
+                                    output_size=(spec.height, spec.width))
+    variables = init_model(model, arch_spec, cfg, jax.random.PRNGKey(0))
+    ds = SyntheticNuScenes(8, spec=spec, seed=9)
+    host_batch = ds.batch(range(8))
+    eval_fn = make_eval_step(model, arch_spec, cfg)
+
+    results = []
+    for ndev in (1, 8):
+        mesh = make_mesh(jax.devices()[:ndev])
+        repl = replicated_sharding(mesh)
+        fn = jax.jit(eval_fn, in_shardings=(repl, repl, batch_sharding(mesh)),
+                     out_shardings=repl)
+        batch = shard_batch(host_batch, mesh)
+        params = jax.device_put(variables["params"], repl)
+        stats = jax.device_put(variables["batch_stats"], repl)
+        sums = jax.tree_util.tree_map(np.asarray, fn(params, stats, batch))
+        results.append(sums)
+    for k in results[0]:
+        np.testing.assert_allclose(results[0][k], results[1][k], rtol=2e-5,
+                                   err_msg=k)

@@ -1,0 +1,110 @@
+"""Training harness tests: SGD-vs-torch oracle, 8-device sharded smoke train,
+determinism, checkpoint round-trip (SURVEY.md §4 items 3/4)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from radar_depth_tpu.config import (
+    AugmentConfig,
+    DataConfig,
+    ModelConfig,
+    OptimConfig,
+    TrainConfig,
+)
+
+
+def tiny_config(tmpdir, arch="resnet18_latefusion", epochs=1, **kw):
+    return TrainConfig(
+        data=DataConfig(height=64, width=96, num_sweeps=2, num_train=16,
+                        num_val=8, max_depth=80.0),
+        model=ModelConfig(arch=arch, decoder="deconv2", **kw),
+        optim=OptimConfig(lr=0.01),
+        augment=AugmentConfig(),
+        batch_size=8,
+        epochs=epochs,
+        output_dir=str(tmpdir),
+        print_freq=100,
+    )
+
+
+def test_sgd_matches_torch_oracle():
+    """optax chain == torch.optim.SGD(momentum, weight_decay) over 5 steps."""
+    import torch
+
+    from radar_depth_tpu.train.state import make_optimizer
+
+    cfg = OptimConfig(lr=0.1, momentum=0.9, weight_decay=0.01,
+                      lr_decay_epochs=2, lr_decay_factor=0.1)
+    w0 = np.random.default_rng(0).normal(size=(4, 3)).astype(np.float32)
+    grads = [np.random.default_rng(i + 1).normal(size=(4, 3)).astype(np.float32)
+             for i in range(5)]
+
+    # torch oracle with manual per-epoch lr adjustment (1 step = 1 "epoch" here)
+    wt = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = torch.optim.SGD([wt], lr=0.1, momentum=0.9, weight_decay=0.01)
+    for i, g in enumerate(grads):
+        for pg in opt.param_groups:
+            pg["lr"] = 0.1 * 0.1 ** (i // 2)
+        opt.zero_grad()
+        wt.grad = torch.from_numpy(g.copy())
+        opt.step()
+
+    tx = make_optimizer(cfg, steps_per_epoch=1)
+    params = {"w": jnp.asarray(w0)}
+    opt_state = tx.init(params)
+    for g in grads:
+        updates, opt_state = tx.update({"w": jnp.asarray(g)}, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+    np.testing.assert_allclose(np.asarray(params["w"]), wt.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_train_smoke_sharded(tmp_path):
+    """One epoch of the late-fusion model on the 8-device CPU mesh: loss
+    finite, metrics populated, CSVs written, checkpoint saved+restorable."""
+    from radar_depth_tpu.train.loop import Trainer
+
+    assert jax.device_count() == 8, "conftest should fake 8 devices"
+    cfg = tiny_config(tmp_path)
+    tr = Trainer(cfg)
+    tr.fit()
+    assert os.path.exists(os.path.join(cfg.output_dir, "train.csv"))
+    assert os.path.exists(os.path.join(cfg.output_dir, "test.csv"))
+    assert os.path.exists(os.path.join(cfg.output_dir, "best.txt"))
+    assert os.path.exists(os.path.join(cfg.output_dir, "comparison_epoch0.png"))
+    with open(os.path.join(cfg.output_dir, "test.csv")) as f:
+        lines = f.read().strip().splitlines()
+    assert lines[0].startswith("epoch,mse,rmse,absrel,lg10,mae,delta1")
+    vals = dict(zip(lines[0].split(","), lines[1].split(",")))
+    assert np.isfinite(float(vals["rmse"])) and float(vals["rmse"]) > 0
+
+    # resume restores epoch counter and state shape
+    cfg2 = tiny_config(tmp_path, epochs=1)
+    cfg2 = TrainConfig(**{**cfg2.__dict__, "resume": str(tmp_path)})
+    tr2 = Trainer(cfg2)
+    tr2.maybe_resume()
+    assert tr2.start_epoch == 1
+    np.testing.assert_allclose(
+        float(tr2.state.step), float(tr.state.step))
+
+
+def test_train_step_deterministic(tmp_path):
+    """Same seed ⇒ bitwise-identical first-step loss (jit purity + explicit
+    keys; SURVEY.md §5 determinism)."""
+    from radar_depth_tpu.train.loop import Trainer, iterate_batches
+    from radar_depth_tpu.parallel import shard_batch
+
+    losses = []
+    for _ in range(2):
+        cfg = tiny_config(tmp_path / f"d{_}", arch="resnet18")
+        tr = Trainer(cfg)
+        batch = next(iterate_batches(tr.train_ds, cfg.batch_size, True,
+                                     cfg.seed, True))
+        batch = shard_batch(batch, tr.mesh)
+        key = jax.random.fold_in(tr.data_key, 0)
+        _, sums = tr._train_step(tr.state, batch, key)
+        losses.append(float(sums["loss"]))
+    assert losses[0] == losses[1]
