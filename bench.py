@@ -66,28 +66,32 @@ def main():
     pre_cfg = PreprocessConfig(spec=spec)
 
     @jax.jit
-    def infer(params, batch_stats, batch):
+    def infer_checksum(params, batch_stats, batch, carry):
         prepared = prepare_eval_batch(batch, pre_cfg)
         inputs = pack_model_inputs(prepared, arch_spec.input_kind)
         out = model.apply({"params": params, "batch_stats": batch_stats},
                           *inputs, train=False)
-        return out[1] if arch_spec.multistage else out
+        pred = out[1] if arch_spec.multistage else out
+        # carry chain orders the stream on device; fetching the final carry
+        # forces every iteration to have really executed. (This device sits
+        # behind a relay with ~30 ms per *synchronized* dispatch, and
+        # block_until_ready has been observed to return early — so the bench
+        # pipelines: enqueue all iterations, fetch one scalar at the end.
+        # This matches steady-state streaming inference.)
+        return carry + jnp.sum(pred.astype(jnp.float32))
 
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
-
-    def run_once():
-        out = infer(params, batch_stats, batch)
-        # Force true completion with a host fetch: under the axon relay,
-        # block_until_ready alone has been observed to return early.
-        return float(jnp.sum(out))
-
+    carry = jnp.zeros((), jnp.float32)
     for _ in range(args.warmup):
-        checksum = run_once()
-    assert np.isfinite(checksum), checksum
+        carry = infer_checksum(params, batch_stats, batch, carry)
+    assert np.isfinite(float(carry))
+    carry = jnp.zeros((), jnp.float32)
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        run_once()
+        carry = infer_checksum(params, batch_stats, batch, carry)
+    checksum = float(carry)  # forces the whole chain
     dt = time.perf_counter() - t0
+    assert np.isfinite(checksum)
     img_per_sec = args.batch * args.iters / dt
     per_chip = img_per_sec / n_chips
     print(json.dumps({

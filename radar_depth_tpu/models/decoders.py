@@ -23,8 +23,10 @@ from flax import linen as nn
 from radar_depth_tpu.models.layers import (
     DIMSPEC,
     TorchConvTranspose,
+    depth_to_space2,
     fused_unpool_conv_padding,
     make_norm,
+    phase_unpool_conv_kernels,
 )
 
 
@@ -32,13 +34,21 @@ class _UnpoolConv(nn.Module):
     """Fused unpool(stride 2) + KxK conv, the building block of UpConv/UpProj.
 
     Numerically identical to conv_pad[k//2](unpool_2(x)) with torch-style
-    symmetric padding — see fused_unpool_conv_padding.
+    symmetric padding. Two implementations (same sums, reassociated):
+
+      impl="phase"   (default, k=5 only): 3×3 conv at H×W producing 4K phase
+                     channels + depth_to_space → 2H×2W×K. 4× smaller spatial
+                     extent, 4× more MXU lanes — the fast path for the
+                     low-channel decoder tail.
+      impl="dilated" lax conv with lhs_dilation=2 (also zero-free; used as
+                     the equivalence oracle and for k≠5).
     """
 
     features: int
     kernel_size: int
     use_bias: bool = False
     dtype: Any = jnp.float32
+    impl: str = "phase"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -49,15 +59,27 @@ class _UnpoolConv(nn.Module):
             (k, k, x.shape[-1], self.features),
             jnp.float32,
         )
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            window_strides=(1, 1),
-            padding=fused_unpool_conv_padding(k, 2),
-            lhs_dilation=(2, 2),
-            dimension_numbers=DIMSPEC,
-        precision=jax.lax.Precision.HIGHEST,
-        )
+        if self.impl == "phase" and k == 5:
+            pk = phase_unpool_conv_kernels(kernel)  # (3, 3, C, 4K)
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                pk.astype(self.dtype),
+                window_strides=(1, 1),
+                padding=((1, 1), (1, 1)),
+                dimension_numbers=DIMSPEC,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            y = depth_to_space2(y)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                window_strides=(1, 1),
+                padding=fused_unpool_conv_padding(k, 2),
+                lhs_dilation=(2, 2),
+                dimension_numbers=DIMSPEC,
+                precision=jax.lax.Precision.HIGHEST,
+            )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
             y = y + bias.astype(self.dtype)

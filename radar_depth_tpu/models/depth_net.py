@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from radar_depth_tpu.models.decoders import Decoder
-from radar_depth_tpu.models.layers import make_norm, resize_bilinear
+from radar_depth_tpu.models.layers import make_norm, resize_bilinear_matmul
 from radar_depth_tpu.models.resnet import ResNetEncoder
 
 
@@ -51,5 +51,5 @@ class DepthNet(nn.Module):
             1, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
             dtype=self.dtype, precision=jax.lax.Precision.HIGHEST, name="conv3",
         )(y)
-        y = resize_bilinear(y, *self.output_size)
+        y = resize_bilinear_matmul(y, *self.output_size)
         return y.astype(jnp.float32)

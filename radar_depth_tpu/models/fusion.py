@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from radar_depth_tpu.models.decoders import Decoder
-from radar_depth_tpu.models.layers import make_norm, resize_bilinear
+from radar_depth_tpu.models.layers import make_norm, resize_bilinear_matmul
 from radar_depth_tpu.models.resnet import ResNetEncoder
 
 
@@ -68,7 +68,7 @@ class LateFusionNet(nn.Module):
             1, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
             dtype=self.dtype, precision=jax.lax.Precision.HIGHEST, name="conv3",
         )(y)
-        return resize_bilinear(y, *self.output_size).astype(jnp.float32)
+        return resize_bilinear_matmul(y, *self.output_size).astype(jnp.float32)
 
 
 def filter_radar_by_prediction(

@@ -122,6 +122,85 @@ class TorchConvTranspose(nn.Module):
         return y
 
 
+def phase_unpool_conv_kernels(kernel: jax.Array) -> jax.Array:
+    """Re-express a (5, 5, C, K) unpool-conv kernel as a (3, 3, C, 4K) phase
+    kernel for the depth-to-space formulation.
+
+    The stride-2 zero-insertion unpool followed by a 5×5 conv touches, for
+    output phase (a, b) ∈ {0,1}², only the kernel taps with matching parity:
+      a=0 rows use w[0], w[2], w[4] at input rows m-1, m, m+1
+      a=1 rows use  0 , w[1], w[3] at input rows m-1, m, m+1
+    (same for columns). So the 2H×2W output is exactly a 3×3 conv at H×W
+    producing 4 phase outputs, rearranged by depth_to_space — identical sums,
+    4× less spatial extent and 4× more output channels for the MXU
+    (SURVEY.md §7 hard part #5: the decoder chain is the bandwidth/utilization
+    bottleneck).
+
+    Output channel layout: (a, b, k) → channel ((a*2 + b) * K + k).
+    """
+    k5 = kernel
+
+    def row_taps(a):
+        if a == 0:
+            return [k5[0:1], k5[2:3], k5[4:5]]  # rows m-1, m, m+1
+        return [jnp.zeros_like(k5[0:1]), k5[1:2], k5[3:4]]
+
+    phases = []
+    for a in (0, 1):
+        rows = row_taps(a)
+        for b in (0, 1):
+            taps = []
+            for r in rows:  # r: (1, 5, C, K)
+                if b == 0:
+                    cols = [r[:, 0:1], r[:, 2:3], r[:, 4:5]]
+                else:
+                    cols = [jnp.zeros_like(r[:, 0:1]), r[:, 1:2], r[:, 3:4]]
+                taps.append(jnp.concatenate(cols, axis=1))  # (1, 3, C, K)
+            phases.append(jnp.concatenate(taps, axis=0))  # (3, 3, C, K)
+    return jnp.concatenate(phases, axis=-1)  # (3, 3, C, 4K)
+
+
+def depth_to_space2(x: jax.Array) -> jax.Array:
+    """(N, H, W, 4K) with channel layout (a, b, k) → (N, 2H, 2W, K)."""
+    n, h, w, c4 = x.shape
+    k = c4 // 4
+    x = x.reshape(n, h, w, 2, 2, k)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))  # n, h, a, w, b, k
+    return x.reshape(n, 2 * h, 2 * w, k)
+
+
+def _interp_matrix(out_size: int, in_size: int) -> jax.Array:
+    """Row-stochastic (out, in) bilinear interpolation matrix, half-pixel
+    centers (align_corners=False) with edge clamping — matches
+    jax.image.resize / torch F.interpolate semantics."""
+    import numpy as np
+
+    scale = in_size / out_size
+    src = (np.arange(out_size) + 0.5) * scale - 0.5
+    lo = np.floor(src).astype(int)
+    frac = src - lo
+    lo_c = np.clip(lo, 0, in_size - 1)
+    hi_c = np.clip(lo + 1, 0, in_size - 1)
+    m = np.zeros((out_size, in_size), np.float32)
+    m[np.arange(out_size), lo_c] += 1.0 - frac
+    m[np.arange(out_size), hi_c] += frac
+    return jnp.asarray(m)
+
+
+def resize_bilinear_matmul(x: jax.Array, height: int, width: int) -> jax.Array:
+    """Bilinear resize as two separable matmuls (MXU path): for each channel
+    y = R_h · x · R_wᵀ. Numerically equivalent to resize_bilinear; much faster
+    on TPU than the gather formulation for small channel counts."""
+    n, h, w, c = x.shape
+    rh = _interp_matrix(height, h)
+    rw = _interp_matrix(width, w)
+    y = jnp.einsum("Hh,nhwc->nHwc", rh, x.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST)
+    y = jnp.einsum("Ww,nhwc->nhWc", rw, y,
+                   precision=jax.lax.Precision.HIGHEST)
+    return y.astype(x.dtype)
+
+
 def max_pool_torch(x: jax.Array, window: int = 3, stride: int = 2, padding: int = 1):
     """MaxPool2d(window, stride, padding) with torch floor-mode semantics —
     upstream torchvision ResNet stem (SURVEY.md §2 C7a)."""

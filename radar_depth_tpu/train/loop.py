@@ -118,6 +118,11 @@ class Trainer:
             in_shardings=(repl, repl, bshard),
             out_shardings=bshard,
         )
+        # On-device metric-sum accumulator (avoids per-step host syncs).
+        self._acc = jax.jit(
+            lambda a, b: jax.tree_util.tree_map(lambda x, y: x + y, a, b),
+            in_shardings=(repl, repl), out_shardings=repl,
+        )
 
         os.makedirs(cfg.output_dir, exist_ok=True)
         self.train_log = EpochCSVLogger(os.path.join(cfg.output_dir, "train.csv"))
@@ -137,6 +142,47 @@ class Trainer:
             self.start_epoch = epoch + 1
             print(f"resumed from {self.cfg.resume} at epoch {epoch}")
 
+    def maybe_init_from_stage1(self):
+        """Two-phase training workflow (SURVEY.md §3.5): when training a
+        multistage arch with --stage1-path pointing at a late-fusion run,
+        initialize BOTH stages from that checkpoint before training the
+        two-stage model end-to-end (branch-wise restore)."""
+        if not self.cfg.model.stage1_path or not self.arch_spec.multistage:
+            return
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(self.cfg.model.stage1_path)
+        if os.path.basename(path) != "checkpoints":
+            cand = os.path.join(path, "checkpoints")
+            path = cand if os.path.isdir(cand) else path
+        mgr = ocp.CheckpointManager(path)
+        step = mgr.best_step()
+        if step is None:
+            step = mgr.latest_step()
+        mgr.close()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {path}")
+        # Template-free restore (the stage-1 run's full tree: state + epoch +
+        # rmse); we graft only params/batch_stats into each stage's subtree.
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(os.path.join(path, str(step), "default"))
+        src_params = restored["state"]["params"]
+        src_stats = restored["state"]["batch_stats"]
+        tmpl_p = jax.tree_util.tree_structure(self.state.params["stage1"])
+        if jax.tree_util.tree_structure(src_params) != tmpl_p:
+            raise ValueError(
+                f"stage1 checkpoint param tree does not match a "
+                f"{self.cfg.model.arch} stage subtree (is {path} a "
+                f"late-fusion run with the same depth/decoder?)")
+        params = dict(self.state.params)
+        stats = dict(self.state.batch_stats)
+        for stage in ("stage1", "stage2"):
+            params[stage] = src_params
+            stats[stage] = src_stats
+        self.state = self.state.replace(params=params, batch_stats=stats)
+        self.state = jax.device_put(self.state, replicated_sharding(self.mesh))
+        print(f"initialized stage1+stage2 from {path} step {step}")
+
     def load_for_evaluate(self):
         state = ckpt_lib.restore_for_evaluate(
             self.cfg.evaluate, jax.tree_util.tree_map(np.asarray, self.state)
@@ -146,32 +192,41 @@ class Trainer:
     # ------------------------------------------------------------- epochs
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
+        """Steps are dispatched asynchronously and metric sums accumulate ON
+        DEVICE (self._acc); the host syncs only at print_freq boundaries and
+        at epoch end. This device sits behind a relay with ~30 ms per
+        synchronized dispatch — per-step fetches would dominate the epoch."""
         cfg = self.cfg
-        sums = zeros_metric_sums()
-        loss_sum = 0.0
+        acc = None
         nsteps = 0
         data_t, step_t = AverageMeter(), AverageMeter()
         key = jax.random.fold_in(self.data_key, epoch)
         t0 = time.perf_counter()
+        window_t0, window_n = t0, 0
         for batch in iterate_batches(self.train_ds, cfg.batch_size, True,
                                      cfg.seed + epoch, drop_last=True):
             batch = shard_batch(batch, self.mesh)
             t1 = time.perf_counter()
             self.state, step_sums = self._train_step(self.state, batch, key)
-            step_sums = jax.tree_util.tree_map(np.asarray, step_sums)
+            acc = step_sums if acc is None else self._acc(acc, step_sums)
             t2 = time.perf_counter()
-            loss_sum += float(step_sums.pop("loss"))
-            sums = accumulate_metric_sums(sums, step_sums)
             data_t.update(t1 - t0)
-            step_t.update(t2 - t1)
+            step_t.update(t2 - t1)  # dispatch time; device time folded in at syncs
             nsteps += 1
             if nsteps % cfg.print_freq == 0:
-                m = finalize_metrics(sums)
-                print(f"epoch {epoch} step {nsteps}: loss={loss_sum / nsteps:.4f} "
-                      f"rmse={m['rmse']:.3f} mae={m['mae']:.3f} "
-                      f"data={data_t.average * 1e3:.0f}ms step={step_t.average * 1e3:.0f}ms")
+                m = jax.tree_util.tree_map(np.asarray, acc)  # ← sync point
+                wall = time.perf_counter() - window_t0
+                per_step = wall / max(nsteps - window_n, 1)
+                loss = float(m["loss"]) / nsteps
+                fm = finalize_metrics({k: v for k, v in m.items() if k != "loss"})
+                print(f"epoch {epoch} step {nsteps}: loss={loss:.4f} "
+                      f"rmse={fm['rmse']:.3f} mae={fm['mae']:.3f} "
+                      f"{per_step * 1e3:.0f}ms/step")
+                window_t0, window_n = time.perf_counter(), nsteps
             t0 = time.perf_counter()
-        metrics = finalize_metrics(sums)
+        m = jax.tree_util.tree_map(np.asarray, acc) if acc is not None else {}
+        loss_sum = float(m.pop("loss", 0.0))
+        metrics = finalize_metrics(m) if m else {}
         metrics["loss"] = loss_sum / max(nsteps, 1)
         metrics["data_time"] = data_t.average
         metrics["gpu_time"] = step_t.average
@@ -180,6 +235,7 @@ class Trainer:
     def validate(self, epoch: int = 0, viz: bool = True) -> Dict[str, float]:
         cfg = self.cfg
         sums = zeros_metric_sums()
+        acc = None
         data_t, step_t = AverageMeter(), AverageMeter()
         t0 = time.perf_counter()
         first_batch = None
@@ -192,13 +248,14 @@ class Trainer:
             t1 = time.perf_counter()
             step_sums = self._eval_step(self.state.params, self.state.batch_stats,
                                         batch)
-            step_sums = jax.tree_util.tree_map(np.asarray, step_sums)
+            acc = step_sums if acc is None else self._acc(acc, step_sums)
             t2 = time.perf_counter()
-            step_sums.pop("loss")
-            sums = accumulate_metric_sums(sums, step_sums)
             data_t.update(t1 - t0)
             step_t.update(t2 - t1)
             t0 = time.perf_counter()
+        sums = jax.tree_util.tree_map(np.asarray, acc) if acc is not None else sums
+        sums = dict(sums)
+        sums.pop("loss", None)
         metrics = finalize_metrics(sums)
         metrics["data_time"] = data_t.average
         metrics["gpu_time"] = step_t.average
@@ -215,6 +272,7 @@ class Trainer:
 
     def fit(self):
         cfg = self.cfg
+        self.maybe_init_from_stage1()
         self.maybe_resume()
         for epoch in range(self.start_epoch, cfg.epochs):
             train_m = self.train_epoch(epoch)

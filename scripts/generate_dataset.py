@@ -1,0 +1,55 @@
+"""Offline dataset generation → packed shards (the reference's L1 stage,
+upstream:scripts/* nuScenes→pickle generation; SURVEY.md §3.3).
+
+With no real nuScenes reachable in this environment, the generator writes the
+synthetic fixture dataset into the packed binary format consumed by the native
+loader (data/packed.py). When a real nuScenes export becomes available, its
+per-sample arrays need only be adapted to the schema in data/schema.py and
+written through the same write_shard().
+
+Usage:
+  python scripts/generate_dataset.py --out data/nuscenes-synth \
+      --num-train 512 --num-val 128 --height 450 --width 800 --sweeps 5
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from radar_depth_tpu.data.packed import write_shard  # noqa: E402
+from radar_depth_tpu.data.schema import SampleSpec  # noqa: E402
+from radar_depth_tpu.data.synthetic import SyntheticNuScenes  # noqa: E402
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", required=True)
+    p.add_argument("--num-train", type=int, default=512)
+    p.add_argument("--num-val", type=int, default=128)
+    p.add_argument("--height", type=int, default=450)
+    p.add_argument("--width", type=int, default=800)
+    p.add_argument("--sweeps", type=int, default=5)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    spec = SampleSpec(height=args.height, width=args.width,
+                      num_sweeps=args.sweeps)
+    for split, n, seed in (("train", args.num_train, args.seed),
+                           ("val", args.num_val, args.seed + 1)):
+        ds = SyntheticNuScenes(n, spec=spec, seed=seed)
+        path = os.path.join(args.out, split, "data.rdtp")
+        t0 = time.time()
+        write_shard(path, (ds[i] for i in range(n)))
+        size_mb = os.path.getsize(path) / 1e6
+        print(f"{split}: {n} samples → {path} ({size_mb:.0f} MB, "
+              f"{time.time() - t0:.1f}s)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

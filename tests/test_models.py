@@ -98,3 +98,27 @@ def test_filter_radar_by_prediction():
     np.testing.assert_array_equal(out, [[0.0, 10.0, 0.0, 50.0]])
     # zero pixels never resurrected
     assert np.asarray(filter_radar_by_prediction(jnp.zeros((1, 4)), pred))[0].sum() == 0
+
+
+def test_phase_unpool_conv_matches_dilated():
+    """The MXU-friendly phase decomposition (3x3 conv at H,W -> 4K channels ->
+    depth_to_space) is numerically identical to the input-dilated formulation."""
+    from radar_depth_tpu.models.decoders import _UnpoolConv
+
+    x = jnp.asarray(RNG.normal(size=(2, 6, 9, 8)).astype(np.float32))
+    m_phase = _UnpoolConv(4, 5, impl="phase")
+    m_dil = _UnpoolConv(4, 5, impl="dilated")
+    v = m_phase.init(jax.random.PRNGKey(0), x)
+    y1 = np.asarray(m_phase.apply(v, x))
+    y2 = np.asarray(m_dil.apply(v, x))
+    assert y1.shape == y2.shape == (2, 12, 18, 4)
+    np.testing.assert_allclose(y1, y2, atol=2e-5)
+
+
+def test_resize_matmul_matches_gather():
+    from radar_depth_tpu.models.layers import resize_bilinear, resize_bilinear_matmul
+
+    x = jnp.asarray(RNG.normal(size=(2, 24, 40, 3)).astype(np.float32))
+    a = np.asarray(resize_bilinear(x, 45, 80))
+    b = np.asarray(resize_bilinear_matmul(x, 45, 80))
+    np.testing.assert_allclose(a, b, atol=2e-5)

@@ -108,3 +108,28 @@ def test_train_step_deterministic(tmp_path):
         _, sums = tr._train_step(tr.state, batch, key)
         losses.append(float(sums["loss"]))
     assert losses[0] == losses[1]
+
+
+def test_multistage_init_from_stage1(tmp_path):
+    """SURVEY.md §3.5 two-phase workflow: --stage1-path grafts a late-fusion
+    checkpoint into both stages of the multistage model."""
+    import jax
+    import numpy as np
+    from radar_depth_tpu.train.loop import Trainer
+
+    cfg1 = tiny_config(tmp_path / "s1", arch="resnet18_latefusion")
+    tr1 = Trainer(cfg1)
+    tr1.fit()
+
+    cfg2 = tiny_config(tmp_path / "s2", arch="resnet18_multistage",
+                       stage1_path=str(tmp_path / "s1"))
+    tr2 = Trainer(cfg2)
+    tr2.maybe_init_from_stage1()
+    want = jax.tree_util.tree_map(np.asarray, tr1.state.params)
+    for stage in ("stage1", "stage2"):
+        got = jax.tree_util.tree_map(np.asarray, tr2.state.params[stage])
+        leaves_w = jax.tree_util.tree_leaves(want)
+        leaves_g = jax.tree_util.tree_leaves(got)
+        assert len(leaves_w) == len(leaves_g)
+        for a, b in zip(leaves_g, leaves_w):
+            np.testing.assert_array_equal(a, b)
