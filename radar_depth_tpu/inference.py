@@ -1,0 +1,94 @@
+"""High-level inference API — load a trained run and predict depth from raw
+samples (the serving-style entry point; the reference only offers
+--evaluate via main.py, SURVEY.md §3.2 — this is a superset).
+
+    from radar_depth_tpu.inference import Predictor
+    p = Predictor.from_run("runs/ms")            # best checkpoint
+    depth = p.predict(batch)                      # (B, H, W) meters
+    metrics = p.evaluate(batch)                   # Result-style dict
+
+The whole raw-batch → preproc → two-stage forward path is one jitted graph,
+dispatched asynchronously; predictions stream without per-call host syncs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radar_depth_tpu.config import TrainConfig
+from radar_depth_tpu.metrics import compute_metric_sums, finalize_metrics
+from radar_depth_tpu.models import create_model
+from radar_depth_tpu.ops.preprocess import (
+    PreprocessConfig,
+    pack_model_inputs,
+    prepare_eval_batch,
+)
+from radar_depth_tpu.train import checkpoint as ckpt_lib
+from radar_depth_tpu.train.state import create_train_state, make_optimizer
+from radar_depth_tpu.train.step import init_model
+
+
+class Predictor:
+    """Checkpoint-backed depth predictor."""
+
+    def __init__(self, cfg: TrainConfig, params, batch_stats):
+        self.cfg = cfg
+        spec = cfg.data.sample_spec()
+        self.model, self.arch_spec = create_model(
+            cfg.model.arch,
+            modality=cfg.model.modality,
+            decoder=cfg.model.decoder,
+            output_size=(spec.height, spec.width),
+            dtype={"float32": jnp.float32, "bfloat16": jnp.bfloat16}[cfg.model.dtype],
+        )
+        self.params = params
+        self.batch_stats = batch_stats
+        self._pre = PreprocessConfig(spec=spec,
+                                     height_extension=cfg.data.height_extension)
+        self._infer = jax.jit(self._infer_fn)
+
+    @classmethod
+    def from_run(cls, run_dir: str, cfg: Optional[TrainConfig] = None,
+                 **cfg_overrides) -> "Predictor":
+        """Load the best (else latest) checkpoint of a training run. The run's
+        model config must be re-supplied if it differed from defaults."""
+        cfg = cfg or TrainConfig(**cfg_overrides)
+        model, arch_spec = create_model(
+            cfg.model.arch, modality=cfg.model.modality,
+            decoder=cfg.model.decoder,
+            output_size=(cfg.data.height, cfg.data.width),
+        )
+        variables = init_model(model, arch_spec, cfg, jax.random.PRNGKey(0))
+        tx = make_optimizer(cfg.optim, 1)
+        template = create_train_state(variables, tx)
+        state = ckpt_lib.restore_for_evaluate(
+            run_dir, jax.tree_util.tree_map(np.asarray, template))
+        return cls(cfg, state.params, state.batch_stats)
+
+    def _infer_fn(self, params, batch_stats, batch):
+        prepared = prepare_eval_batch(batch, self._pre)
+        inputs = pack_model_inputs(prepared, self.arch_spec.input_kind,
+                                   self.cfg.model.modality)
+        out = self.model.apply(
+            {"params": params, "batch_stats": batch_stats}, *inputs,
+            train=False)
+        pred = out[1] if self.arch_spec.multistage else out
+        return pred[..., 0], prepared["target"][..., 0]
+
+    def predict(self, batch: Dict) -> np.ndarray:
+        """Raw schema batch → (B, H, W) predicted depth in meters."""
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        pred, _ = self._infer(self.params, self.batch_stats, batch)
+        return np.asarray(pred)
+
+    def evaluate(self, batch: Dict) -> Dict[str, float]:
+        """Raw schema batch → reference Result-style metrics dict."""
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        pred, target = self._infer(self.params, self.batch_stats, batch)
+        sums = compute_metric_sums(pred[..., None], target[..., None])
+        return finalize_metrics(jax.tree_util.tree_map(np.asarray, sums))

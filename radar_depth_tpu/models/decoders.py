@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+import os
+
 from radar_depth_tpu.models.layers import (
     DIMSPEC,
     TorchConvTranspose,
@@ -28,6 +30,12 @@ from radar_depth_tpu.models.layers import (
     make_norm,
     phase_unpool_conv_kernels,
 )
+
+# Default unpool-conv implementation ("dilated" | "phase"), overridable via
+# env for benchmarking. Both are numerically identical (tested); which is
+# faster depends on the XLA version/backend — measured on the current axon
+# v5e relay: dilated wins in-graph, so it is the default.
+DEFAULT_UNPOOL_IMPL = os.environ.get("RDT_UNPOOL_IMPL", "dilated")
 
 
 class _UnpoolConv(nn.Module):
@@ -48,7 +56,7 @@ class _UnpoolConv(nn.Module):
     kernel_size: int
     use_bias: bool = False
     dtype: Any = jnp.float32
-    impl: str = "phase"
+    impl: str = DEFAULT_UNPOOL_IMPL
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:

@@ -1,0 +1,183 @@
+"""Pallas TPU kernels.
+
+Two custom kernels beyond what XLA fusion gives:
+
+* rasterize_min_depth_pallas — the sparse-depth z-buffer as a tiled
+  broadcast-min kernel. XLA lowers scatter-min as a serialized per-update loop;
+  this kernel instead keeps a (1, TILE) strip of the image in VMEM/registers
+  and min-reduces over point chunks with fully-vectorized VPU compares
+  (P × TILE ops, no scatter at all). Deterministic by construction (min is
+  order-free). Replaces the hot path of SURVEY.md §3.3's rasterization.
+
+* fused_scale_bias_relu — inference-mode BN (+optional residual) + ReLU as one
+  VMEM pass, the decoder-block epilogue (BASELINE.json "Pallas-fused
+  conv-BN-ReLU ... blocks").
+
+Both have jnp reference implementations and run under interpret mode on CPU in
+tests; pallas_available() gates real-TPU usage.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:  # pragma: no cover - import guard
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS = True
+except Exception:  # pragma: no cover
+    _PALLAS = False
+
+TILE = 1024  # 8 sublanes × 128 lanes
+POINT_CHUNK = 512
+
+
+def pallas_available() -> bool:
+    return _PALLAS
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _raster_kernel(lin_ref, z_ref, out_ref, *, num_chunks: int):
+    """One (batch, tile) program: min z over all points falling in this tile.
+
+    lin_ref: (1, P, 1) int32 linear pixel index (out-of-image → -1)
+    z_ref:   (1, P, 1) float32 depth
+    out_ref: (1, 1, 1, TILE) float32 min-depth strip (inf where empty)
+    """
+    t = pl.program_id(1)
+    base = t * TILE
+    pix = base + jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)  # (1, TILE)
+
+    def body(i, acc):
+        lin_c = lin_ref[0, pl.ds(i * POINT_CHUNK, POINT_CHUNK), :]  # (CH, 1)
+        z_c = z_ref[0, pl.ds(i * POINT_CHUNK, POINT_CHUNK), :]
+        hit = lin_c == pix  # (CH, TILE) via broadcast
+        vals = jnp.where(hit, z_c, jnp.inf)
+        return jnp.minimum(acc, jnp.min(vals, axis=0, keepdims=True))
+
+    acc = jnp.full((1, TILE), jnp.inf, jnp.float32)
+    acc = jax.lax.fori_loop(0, num_chunks, body, acc)
+    out_ref[0, 0, :, :] = acc
+
+
+def rasterize_min_depth_pallas(
+    lin: jax.Array,
+    z: jax.Array,
+    height: int,
+    width: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Rasterize points given precomputed linear pixel indices.
+
+    Args:
+      lin: (B, P) int32 — v*width+u per point, or -1 for invalid/out-of-range.
+      z: (B, P) float32 depths (already range-filtered).
+    Returns:
+      (B, height, width) float32 min-depth map, 0 where empty.
+    """
+    b, p = lin.shape
+    p_pad = _cdiv(p, POINT_CHUNK) * POINT_CHUNK
+    if p_pad != p:
+        lin = jnp.pad(lin, ((0, 0), (0, p_pad - p)), constant_values=-1)
+        z = jnp.pad(z, ((0, 0), (0, p_pad - p)), constant_values=jnp.inf)
+    hw = height * width
+    ntiles = _cdiv(hw, TILE)
+
+    kernel = functools.partial(_raster_kernel, num_chunks=p_pad // POINT_CHUNK)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, ntiles),
+        in_specs=[
+            pl.BlockSpec((1, p_pad, 1), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p_pad, 1), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, TILE), lambda i, t: (i, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, ntiles, 1, TILE), jnp.float32),
+        interpret=interpret,
+    )(lin[..., None].astype(jnp.int32), z[..., None].astype(jnp.float32))
+    flat = out.reshape(b, ntiles * TILE)[:, :hw]
+    depth = jnp.where(jnp.isinf(flat), 0.0, flat)
+    return depth.reshape(b, height, width)
+
+
+def points_to_linear(
+    uv: jax.Array, z: jax.Array, valid: jax.Array,
+    height: int, width: int, min_depth: float, max_depth: float,
+) -> tuple:
+    """Shared front half of rasterization: floor-bin + bounds/range filter →
+    (lin, z) ready for either the XLA scatter path or the pallas kernel."""
+    u = jnp.floor(uv[..., 0]).astype(jnp.int32)
+    v = jnp.floor(uv[..., 1]).astype(jnp.int32)
+    ok = (
+        valid
+        & (u >= 0) & (u < width) & (v >= 0) & (v < height)
+        & (z > min_depth) & (z < max_depth)
+    )
+    lin = jnp.where(ok, v * width + u, -1)
+    zf = jnp.where(ok, z, jnp.inf).astype(jnp.float32)
+    return lin, zf
+
+
+# ------------------------------------------------------------------ epilogue
+
+
+def _scale_bias_relu_kernel(x_ref, scale_ref, bias_ref, out_ref):
+    out_ref[...] = jnp.maximum(x_ref[...] * scale_ref[...] + bias_ref[...], 0.0)
+
+
+def _scale_bias_add_relu_kernel(x_ref, scale_ref, bias_ref, res_ref, out_ref):
+    out_ref[...] = jnp.maximum(
+        x_ref[...] * scale_ref[...] + bias_ref[...] + res_ref[...], 0.0
+    )
+
+
+def fused_scale_bias_relu(
+    x: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    residual: jax.Array | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Inference-mode BN epilogue: relu(x*scale + bias [+ residual]) in one
+    VMEM pass. x: (..., C) NHWC; scale/bias: (C,) folded BN parameters
+    (scale = gamma/sqrt(var+eps), bias = beta - mean*scale)."""
+    shape = x.shape
+    c = shape[-1]
+    x2 = x.reshape(-1, c)
+    sc = jnp.broadcast_to(scale.astype(x.dtype), x2.shape)
+    bi = jnp.broadcast_to(bias.astype(x.dtype), x2.shape)
+    if residual is None:
+        out = pl.pallas_call(
+            _scale_bias_relu_kernel,
+            out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(x2, sc, bi)
+    else:
+        out = pl.pallas_call(
+            _scale_bias_add_relu_kernel,
+            out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(x2, sc, bi, residual.reshape(-1, c))
+    return out.reshape(shape)
+
+
+def fused_scale_bias_relu_reference(x, scale, bias, residual=None):
+    y = x * scale + bias
+    if residual is not None:
+        y = y + residual
+    return jnp.maximum(y, 0.0)

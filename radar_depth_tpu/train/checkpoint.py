@@ -51,7 +51,9 @@ class CheckpointManager:
         self._mgr.wait_until_finished()
 
     def restore(self, state_template: TrainState, step: Optional[int] = None
-                ) -> Tuple[TrainState, int]:
+                ) -> Tuple[TrainState, int, float]:
+        """Returns (state, epoch, best_rmse_so_far) — the reference's --resume
+        restores model+optimizer+epoch+best_result (SURVEY.md §2 C10)."""
         step = self._mgr.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.dir}")
@@ -61,7 +63,15 @@ class CheckpointManager:
             "rmse": float("inf"),
         }
         payload = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
-        return payload["state"], int(payload["epoch"])
+        best = self._mgr.best_step()
+        best_rmse = float(payload["rmse"])
+        if best is not None and best != step:
+            try:
+                bp = self._mgr.restore(best, args=ocp.args.StandardRestore(template))
+                best_rmse = min(best_rmse, float(bp["rmse"]))
+            except Exception:
+                pass
+        return payload["state"], int(payload["epoch"]), best_rmse
 
     def best_step(self) -> Optional[int]:
         return self._mgr.best_step()

@@ -135,12 +135,15 @@ class Trainer:
 
     def maybe_resume(self):
         if self.cfg.resume:
-            state, epoch = ckpt_lib.CheckpointManager(self.cfg.resume).restore(
+            state, epoch, best_rmse = ckpt_lib.CheckpointManager(
+                self.cfg.resume).restore(
                 jax.tree_util.tree_map(np.asarray, self.state)
             )
             self.state = jax.device_put(state, replicated_sharding(self.mesh))
             self.start_epoch = epoch + 1
-            print(f"resumed from {self.cfg.resume} at epoch {epoch}")
+            self.best_rmse = best_rmse
+            print(f"resumed from {self.cfg.resume} at epoch {epoch} "
+                  f"(best rmse {best_rmse:.4f})")
 
     def maybe_init_from_stage1(self):
         """Two-phase training workflow (SURVEY.md §3.5): when training a

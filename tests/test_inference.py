@@ -1,0 +1,37 @@
+"""Predictor (serving-style API) round-trip test."""
+
+import numpy as np
+
+from radar_depth_tpu.config import (
+    AugmentConfig,
+    DataConfig,
+    ModelConfig,
+    OptimConfig,
+    TrainConfig,
+)
+from radar_depth_tpu.data.synthetic import SyntheticNuScenes
+from radar_depth_tpu.inference import Predictor
+from radar_depth_tpu.train.loop import Trainer
+
+
+def test_predictor_from_run(tmp_path):
+    cfg = TrainConfig(
+        data=DataConfig(height=64, width=96, num_sweeps=2, num_train=16, num_val=8),
+        model=ModelConfig(arch="resnet18", modality="rgbd", decoder="deconv2"),
+        optim=OptimConfig(),
+        augment=AugmentConfig(),
+        batch_size=8,
+        epochs=1,
+        output_dir=str(tmp_path),
+        print_freq=100,
+    )
+    Trainer(cfg).fit()
+
+    p = Predictor.from_run(str(tmp_path), cfg=cfg)
+    batch = SyntheticNuScenes(4, spec=cfg.data.sample_spec(), seed=5).batch(range(4))
+    depth = p.predict(batch)
+    assert depth.shape == (4, 64, 96)
+    assert np.isfinite(depth).all()
+    metrics = p.evaluate(batch)
+    assert metrics["count"] == 4
+    assert np.isfinite(metrics["rmse"]) and metrics["rmse"] > 0
