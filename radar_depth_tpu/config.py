@@ -33,6 +33,9 @@ class DataConfig:
     num_train: int = 256  # synthetic split sizes
     num_val: int = 64
     seed: int = 0
+    # Inherited sparsifier knobs (upstream --sparsifier/--num-samples; C6):
+    sparsifier: str = "none"  # none | uar | sim_stereo
+    num_samples: int = 200
 
     def sample_spec(self) -> SampleSpec:
         return SampleSpec(
@@ -111,6 +114,12 @@ def parse_command(argv=None) -> TrainConfig:
     p.add_argument("--num-sweeps", type=int, default=5)
     p.add_argument("--max-depth", type=float, default=80.0)
     p.add_argument("--height-extension", type=int, default=0)
+    p.add_argument("--sparsifier", default="none",
+                   choices=["none", "uar", "sim_stereo"])
+    p.add_argument("--num-samples", type=int, default=200,
+                   help="sparsifier target sample count (upstream flag)")
+    p.add_argument("--no-augment", action="store_true",
+                   help="disable train-time augmentation")
     p.add_argument("--num-train", type=int, default=256)
     p.add_argument("--num-val", type=int, default=64)
     # model extras
@@ -130,6 +139,7 @@ def parse_command(argv=None) -> TrainConfig:
             width=a.width, num_sweeps=a.num_sweeps, max_depth=a.max_depth,
             height_extension=a.height_extension, num_train=a.num_train,
             num_val=a.num_val, seed=a.seed,
+            sparsifier=a.sparsifier, num_samples=a.num_samples,
         ),
         model=ModelConfig(
             arch=a.arch, modality=a.modality, decoder=a.decoder, dtype=a.dtype,
@@ -142,6 +152,7 @@ def parse_command(argv=None) -> TrainConfig:
             lr_decay_epochs=a.lr_decay_epochs, lr_decay_factor=a.lr_decay_factor,
             criterion=a.criterion,
         ),
+        augment=AugmentConfig(enabled=not a.no_augment),
         batch_size=a.batch_size, epochs=a.epochs, seed=a.seed,
         output_dir=a.output_dir, resume=a.resume, evaluate=a.evaluate,
     )

@@ -38,6 +38,11 @@ class PreprocessConfig:
     spec: SampleSpec = SampleSpec()
     height_extension: int = 0  # radar vertical extension (paper ablation)
     augment: AugmentConfig = AugmentConfig()
+    # Inherited sparsifier flags (upstream --sparsifier/--num-samples,
+    # SURVEY.md §2 C6): when set, the sparse-depth channel is SAMPLED FROM THE
+    # LiDAR GT instead of radar — the sparse-to-dense NYU/KITTI-style modality.
+    sparsifier: str = "none"  # none | uar | sim_stereo
+    num_samples: int = 200
 
 
 def _radar_uvz(batch: Dict, spec: SampleSpec):
@@ -64,7 +69,16 @@ def _raster(uv, z, valid, spec: SampleSpec, height_extension: int = 0):
     )[..., None]
 
 
-def prepare_eval_batch(batch: Dict, cfg: PreprocessConfig) -> Dict[str, jax.Array]:
+def _apply_sparsifier(cfg: PreprocessConfig, target: jax.Array,
+                      key: jax.Array) -> jax.Array:
+    from radar_depth_tpu.ops.sparsify import SPARSIFIERS
+
+    fn = SPARSIFIERS[{"uar": "uar", "sim_stereo": "sim_stereo"}[cfg.sparsifier]]
+    return fn(target[..., 0], key, cfg.num_samples)[..., None]
+
+
+def prepare_eval_batch(batch: Dict, cfg: PreprocessConfig,
+                       key: jax.Array | None = None) -> Dict[str, jax.Array]:
     """Validation-path inputs: no augmentation (upstream val_transform is just
     resize/crop/to-tensor; our schema ships data already at working res).
 
@@ -72,8 +86,12 @@ def prepare_eval_batch(batch: Dict, cfg: PreprocessConfig) -> Dict[str, jax.Arra
     """
     spec = cfg.spec
     rgb = batch["image"].astype(jnp.float32) / 255.0
-    radar = _raster(*_radar_uvz(batch, spec), spec, cfg.height_extension)
     target = batch["lidar_depth"][..., None].astype(jnp.float32)
+    if cfg.sparsifier != "none":
+        radar = _apply_sparsifier(cfg, target,
+                                  key if key is not None else jax.random.PRNGKey(0))
+    else:
+        radar = _raster(*_radar_uvz(batch, spec), spec, cfg.height_extension)
     return {"rgb": rgb, "radar": radar, "target": target}
 
 
@@ -89,6 +107,10 @@ def prepare_train_batch(
     no nearest-neighbor smearing of sparse depth).
     """
     spec, aug = cfg.spec, cfg.augment
+    if cfg.sparsifier != "none":
+        # sparsified-GT modality trains without geometric augmentation of the
+        # sparse channel; reuse the eval path with a fresh key per step.
+        return prepare_eval_batch(batch, cfg, key)
     rgb = batch["image"].astype(jnp.float32) / 255.0
     if not aug.enabled:
         radar = _raster(*_radar_uvz(batch, spec), spec, cfg.height_extension)

@@ -124,12 +124,37 @@ class Trainer:
             in_shardings=(repl, repl), out_shardings=repl,
         )
 
+        if cfg.model.pretrained:
+            self._load_pretrained(cfg.model.pretrained)
+
         os.makedirs(cfg.output_dir, exist_ok=True)
         self.train_log = EpochCSVLogger(os.path.join(cfg.output_dir, "train.csv"))
         self.val_log = EpochCSVLogger(os.path.join(cfg.output_dir, "test.csv"))
         self.ckpt = ckpt_lib.CheckpointManager(cfg.output_dir)
         self.best_rmse = float("inf")
         self.start_epoch = 0
+
+    def _load_pretrained(self, path: str):
+        """--pretrained <torch .pth>: graft torchvision ImageNet weights into
+        every ResNet encoder branch (upstream pretrained=True; no network here,
+        so the state_dict must already be on disk)."""
+        import torch
+
+        from radar_depth_tpu.utils.torch_convert import graft_pretrained_encoders
+
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        params, stats, report = graft_pretrained_encoders(
+            jax.tree_util.tree_map(np.asarray, self.state.params),
+            jax.tree_util.tree_map(np.asarray, self.state.batch_stats),
+            {k: v.numpy() for k, v in sd.items()},
+        )
+        self.state = self.state.replace(params=params, batch_stats=stats)
+        self.state = jax.device_put(self.state, replicated_sharding(self.mesh))
+        for subtree, loaded, skipped in report:
+            note = f"; skipped {len(skipped)}: {skipped[:3]}" if skipped else ""
+            print(f"pretrained: {subtree}: loaded {loaded} tensors{note}")
 
     # ------------------------------------------------------------- resume
 

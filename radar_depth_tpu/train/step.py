@@ -38,6 +38,8 @@ def make_preprocess_config(cfg: TrainConfig) -> PreprocessConfig:
         spec=cfg.data.sample_spec(),
         height_extension=cfg.data.height_extension,
         augment=cfg.augment,
+        sparsifier=cfg.data.sparsifier,
+        num_samples=cfg.data.num_samples,
     )
 
 

@@ -125,3 +125,87 @@ def torchvision_resnet_to_encoder(state_dict: Dict[str, Any],
     tmpl = {"params": encoder_template, "batch_stats": encoder_stats_template}
     out = torch_state_dict_to_variables(renamed, tmpl)
     return out["params"], out["batch_stats"]
+
+
+def graft_pretrained_encoders(params: Dict, batch_stats: Dict,
+                              state_dict: Dict[str, Any]) -> tuple:
+    """Graft a torchvision resnet{18,34} state_dict into every ResNet encoder
+    subtree of a model (upstream:models.py pretrained=True semantics: all
+    backbone weights come from ImageNet; a conv1 whose in_channels differs —
+    4-ch early fusion, 1-ch radar branch — keeps its fresh init, SURVEY.md §2
+    C7a).
+
+    Returns (params, batch_stats, report) where report lists
+    (subtree, loaded_count, skipped_leaves)."""
+    # torchvision names → our names.
+    renamed = {}
+    for k, v in state_dict.items():
+        if k.startswith("fc."):
+            continue  # classifier head: not part of the encoder
+        k2 = k
+        for s in range(1, 5):
+            for b in range(0, 6):
+                k2 = k2.replace(f"layer{s}.{b}.", f"layer{s}_{b}.")
+        k2 = k2.replace(".downsample.0.", ".downsample_conv.").replace(
+            ".downsample.1.", ".downsample_bn.")
+        renamed[k2] = np.asarray(v)
+
+    def encoder_subtrees(tree, prefix=()):
+        out = []
+        for name, sub in tree.items():
+            if not isinstance(sub, dict):
+                continue
+            if name.endswith("encoder") or name == "encoder":
+                out.append(prefix + (name,))
+            else:
+                out.extend(encoder_subtrees(sub, prefix + (name,)))
+        return out
+
+    def get(tree, path):
+        for k in path:
+            tree = tree[k]
+        return tree
+
+    def set_(tree, path, value):
+        node = tree
+        for k in path[:-1]:
+            node = node[k]
+        node[path[-1]] = value
+
+    import copy
+
+    params = copy.deepcopy(params)
+    batch_stats = copy.deepcopy(batch_stats)
+    report = []
+    for path in encoder_subtrees(params):
+        loaded, skipped = 0, []
+        for col, tree in (("params", params), ("batch_stats", batch_stats)):
+            try:
+                sub = get(tree, path)
+            except KeyError:
+                continue
+            flat = _flatten(sub)
+            for leaf_path, tmpl in flat.items():
+                *mods, leaf = leaf_path
+                base = ".".join(mods)
+                src_key = {
+                    "kernel": f"{base}.weight",
+                    "scale": f"{base}.weight",
+                    "bias": f"{base}.bias",
+                    "mean": f"{base}.running_mean",
+                    "var": f"{base}.running_var",
+                }[leaf]
+                if src_key not in renamed:
+                    skipped.append("/".join(leaf_path) + " (missing)")
+                    continue
+                w = renamed[src_key]
+                if leaf == "kernel":
+                    w = w.transpose(2, 3, 1, 0)
+                if tuple(w.shape) != tuple(np.shape(tmpl)):
+                    skipped.append("/".join(leaf_path) + " (shape)")
+                    continue
+                set_(tree, path + leaf_path[:-1] + (leaf,),
+                     w.astype(np.float32))
+                loaded += 1
+        report.append(("/".join(path), loaded, skipped))
+    return params, batch_stats, report
