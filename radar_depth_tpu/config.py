@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 from radar_depth_tpu.data.schema import SampleSpec
 from radar_depth_tpu.models import ARCH_REGISTRY, MODALITY_CHANNELS
@@ -105,6 +105,7 @@ def parse_command(argv=None) -> TrainConfig:
     p.add_argument("--resume", default="", metavar="CKPT")
     p.add_argument("--evaluate", default="", metavar="CKPT")
     p.add_argument("--output-dir", default="runs/default")
+    p.add_argument("--print-freq", type=int, default=10)
     p.add_argument("--seed", type=int, default=42)
     # data
     p.add_argument("--dataset", default="synthetic", choices=["synthetic", "packed"])
@@ -155,4 +156,5 @@ def parse_command(argv=None) -> TrainConfig:
         augment=AugmentConfig(enabled=not a.no_augment),
         batch_size=a.batch_size, epochs=a.epochs, seed=a.seed,
         output_dir=a.output_dir, resume=a.resume, evaluate=a.evaluate,
+        print_freq=a.print_freq,
     )

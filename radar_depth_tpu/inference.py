@@ -13,7 +13,6 @@ dispatched asynchronously; predictions stream without per-call host syncs.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional
 
 import jax

@@ -71,9 +71,10 @@ def compute_metric_sums(pred: jax.Array, target: jax.Array) -> Dict[str, jax.Arr
     per["delta1"], _ = _per_sample_mean((max_ratio < 1.25).astype(jnp.float32), valid)
     per["delta2"], _ = _per_sample_mean((max_ratio < 1.25**2).astype(jnp.float32), valid)
     per["delta3"], _ = _per_sample_mean((max_ratio < 1.25**3).astype(jnp.float32), valid)
-    # Inverse metrics in 1/km (reference: inv_output_km = 1e-3 / pred_m).
-    inv_pred = 1e-3 / safe_pred
-    inv_target = 1e-3 / safe_target
+    # Inverse metrics in 1/km (reference: inv_output_km = (1e-3 * pred_m)^-1,
+    # i.e. 1000/depth_m — a 10 m return is 100 km^-1).
+    inv_pred = 1.0 / (1e-3 * safe_pred)
+    inv_target = 1.0 / (1e-3 * safe_target)
     per["imse"], _ = _per_sample_mean(jnp.square(inv_pred - inv_target), valid)
     per["imae"], _ = _per_sample_mean(jnp.abs(inv_pred - inv_target), valid)
     # rmse/irmse are per-sample sqrt of per-sample mse (reference convention:

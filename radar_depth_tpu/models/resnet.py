@@ -13,7 +13,7 @@ is a plain encoder → bottleneck → decoder stack (SURVEY.md §3.4).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

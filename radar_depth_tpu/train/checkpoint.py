@@ -12,7 +12,7 @@ shardings (orbax restores to whatever mesh the state template carries).
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import numpy as np
@@ -90,8 +90,14 @@ def restore_for_evaluate(path: str, state_template: TrainState) -> TrainState:
     else:
         if os.path.basename(path) != "checkpoints":
             path = os.path.join(path, "checkpoints")
-        mgr = ocp.CheckpointManager(path)
-        step = mgr.best_step() or mgr.latest_step()
+        mgr = ocp.CheckpointManager(
+            path,
+            options=ocp.CheckpointManagerOptions(
+                best_fn=lambda m: m["rmse"], best_mode="min"),
+        )
+        step = mgr.best_step()
+        if step is None:
+            step = mgr.latest_step()
         mgr.close()
         run_dir = path
         if step is None:

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Dict, Iterable, Optional
+from typing import Dict, Iterable
 
 import jax
 import numpy as np
@@ -18,7 +18,6 @@ from radar_depth_tpu.config import TrainConfig
 from radar_depth_tpu.data.synthetic import SyntheticNuScenes
 from radar_depth_tpu.metrics import (
     AverageMeter,
-    accumulate_metric_sums,
     finalize_metrics,
     zeros_metric_sums,
 )
@@ -31,7 +30,7 @@ from radar_depth_tpu.parallel import (
     shard_batch,
 )
 from radar_depth_tpu.train import checkpoint as ckpt_lib
-from radar_depth_tpu.train.state import TrainState, create_train_state, make_optimizer
+from radar_depth_tpu.train.state import create_train_state, make_optimizer
 from radar_depth_tpu.train.step import (
     init_model,
     make_eval_step,

@@ -13,7 +13,6 @@ GSPMD inserts the cross-chip psums for loss/metric reductions.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Dict, Tuple
 
 import jax

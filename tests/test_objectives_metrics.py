@@ -77,7 +77,7 @@ def metrics_oracle(pred, target):
         out["delta1"].append(np.mean(ratio < 1.25))
         out["delta2"].append(np.mean(ratio < 1.25**2))
         out["delta3"].append(np.mean(ratio < 1.25**3))
-        ip, it = 1e-3 / p, 1e-3 / t
+        ip, it = 1.0 / (1e-3 * p), 1.0 / (1e-3 * t)
         out["imae"].append(np.mean(np.abs(ip - it)))
         out["irmse"].append(np.sqrt(np.mean((ip - it) ** 2)))
     return {k: float(np.mean(v)) for k, v in out.items()}

@@ -1,0 +1,52 @@
+"""CSV logging and viz panel utilities (C11 parity surfaces)."""
+
+import os
+
+import numpy as np
+
+from radar_depth_tpu.utils.csvlog import FIELDNAMES, EpochCSVLogger, write_best_txt
+from radar_depth_tpu.utils.viz import colormap_depth, merge_into_row, add_row, save_image
+
+
+def test_csv_schema_and_append(tmp_path):
+    path = str(tmp_path / "train.csv")
+    log = EpochCSVLogger(path)
+    log.append(0, {"rmse": 1.5, "mae": 1.0, "delta1": 0.5, "data_time": 0.01,
+                   "gpu_time": 0.2, "mse": 2.25, "absrel": 0.1, "lg10": 0.05,
+                   "delta2": 0.7, "delta3": 0.9})
+    log.append(1, {"rmse": 1.2})
+    with open(path) as f:
+        lines = f.read().strip().splitlines()
+    assert lines[0] == ",".join(FIELDNAMES)
+    assert lines[0] == ("epoch,mse,rmse,absrel,lg10,mae,delta1,delta2,delta3,"
+                        "data_time,gpu_time")  # reference schema (SURVEY §5)
+    assert len(lines) == 3
+    # appending to an existing file must not duplicate the header
+    log2 = EpochCSVLogger(path)
+    log2.append(2, {"rmse": 1.0})
+    with open(path) as f:
+        assert len(f.read().strip().splitlines()) == 4
+
+    write_best_txt(str(tmp_path / "best.txt"), 1, {"rmse": 1.2, "mae": 0.9,
+                   "absrel": 0.1, "lg10": 0.02, "delta1": 0.9, "delta2": 0.95,
+                   "delta3": 0.99})
+    content = (tmp_path / "best.txt").read_text()
+    assert "epoch=1" in content and "rmse=1.2000" in content
+
+
+def test_viz_panel(tmp_path):
+    h, w = 24, 32
+    rng = np.random.default_rng(0)
+    rgb = rng.uniform(size=(h, w, 3)).astype(np.float32)
+    depth = np.zeros((h, w), np.float32)
+    depth[5, 5] = 10.0
+    cm = colormap_depth(depth, 80.0)
+    assert cm.shape == (h, w, 3) and cm.dtype == np.uint8
+    assert (cm[0, 0] == 0).all() and cm[5, 5].sum() > 0  # invalid black, valid colored
+    row = merge_into_row(rgb, depth, depth, depth + 1.0, 80.0)
+    assert row.shape == (h, 4 * w, 3)
+    panel = add_row(None, row)
+    panel = add_row(panel, row)
+    assert panel.shape == (2 * h, 4 * w, 3)
+    save_image(panel, str(tmp_path / "p.png"))
+    assert os.path.getsize(tmp_path / "p.png") > 0
