@@ -83,6 +83,7 @@ class TrainConfig:
     evaluate: str = ""
     print_freq: int = 10
     val_viz_every: int = 50  # comparison PNG every N val batches (C11)
+    tensorboard: bool = False
     mesh_axis: str = "data"
 
 
@@ -106,6 +107,7 @@ def parse_command(argv=None) -> TrainConfig:
     p.add_argument("--evaluate", default="", metavar="CKPT")
     p.add_argument("--output-dir", default="runs/default")
     p.add_argument("--print-freq", type=int, default=10)
+    p.add_argument("--tensorboard", action="store_true")
     p.add_argument("--seed", type=int, default=42)
     # data
     p.add_argument("--dataset", default="synthetic", choices=["synthetic", "packed"])
@@ -156,5 +158,5 @@ def parse_command(argv=None) -> TrainConfig:
         augment=AugmentConfig(enabled=not a.no_augment),
         batch_size=a.batch_size, epochs=a.epochs, seed=a.seed,
         output_dir=a.output_dir, resume=a.resume, evaluate=a.evaluate,
-        print_freq=a.print_freq,
+        print_freq=a.print_freq, tensorboard=a.tensorboard,
     )

@@ -37,6 +37,11 @@ from radar_depth_tpu.models.layers import (
 # v5e relay: dilated wins in-graph, so it is the default.
 DEFAULT_UNPOOL_IMPL = os.environ.get("RDT_UNPOOL_IMPL", "dilated")
 
+# Whole-block phase-domain UpProj (models/packed.py): all three convs + BNs of
+# a block run at (H, W, 4K) with one depth_to_space at the end — numerically
+# identical, avoids lane-padded high-res tensors. Toggle for benchmarking.
+UPPROJ_PACKED = os.environ.get("RDT_UPPROJ_PACKED", "0") == "1"
+
 
 class _UnpoolConv(nn.Module):
     """Fused unpool(stride 2) + KxK conv, the building block of UpConv/UpProj.
@@ -183,7 +188,12 @@ class Decoder(nn.Module):
             elif self.kind == "upconv":
                 x = UpConvBlock(features, **kwargs)(x, train)
             elif self.kind == "upproj":
-                x = UpProjBlock(features, **kwargs)(x, train)
+                if UPPROJ_PACKED:
+                    from radar_depth_tpu.models.packed import PackedUpProjBlock
+
+                    x = PackedUpProjBlock(features, **kwargs)(x, train)
+                else:
+                    x = UpProjBlock(features, **kwargs)(x, train)
             else:
                 raise ValueError(f"unknown decoder kind {self.kind!r}")
         return x

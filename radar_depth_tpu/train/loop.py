@@ -130,6 +130,11 @@ class Trainer:
         self.train_log = EpochCSVLogger(os.path.join(cfg.output_dir, "train.csv"))
         self.val_log = EpochCSVLogger(os.path.join(cfg.output_dir, "test.csv"))
         self.ckpt = ckpt_lib.CheckpointManager(cfg.output_dir)
+        self.tboard = None
+        if cfg.tensorboard:
+            from radar_depth_tpu.utils.tboard import TensorBoardLogger
+
+            self.tboard = TensorBoardLogger(os.path.join(cfg.output_dir, "tb"))
         self.best_rmse = float("inf")
         self.start_epoch = 0
 
@@ -306,6 +311,9 @@ class Trainer:
             self.train_log.append(epoch, train_m)
             val_m = self.validate(epoch)
             self.val_log.append(epoch, val_m)
+            if self.tboard is not None:
+                self.tboard.log("train", epoch, train_m)
+                self.tboard.log("val", epoch, val_m)
             print(f"epoch {epoch}: val rmse={val_m['rmse']:.4f} "
                   f"mae={val_m['mae']:.4f} d1={val_m['delta1']:.4f}")
             self.ckpt.save(epoch, jax.tree_util.tree_map(np.asarray, self.state),
@@ -315,6 +323,8 @@ class Trainer:
                 write_best_txt(os.path.join(cfg.output_dir, "best.txt"),
                                epoch, val_m)
         self.ckpt.close()
+        if self.tboard is not None:
+            self.tboard.close()
 
 
 def _dtype(name: str):
