@@ -223,6 +223,27 @@ class Trainer:
 
     # ------------------------------------------------------------- epochs
 
+    def _train_batches(self, epoch: int):
+        """Per-epoch batch stream. For packed datasets with the native lib,
+        batches come from the C++ prefetch thread pool (NativeBatchLoader —
+        the DataLoader(num_workers) equivalent); otherwise random-access
+        gather via iterate_batches."""
+        from radar_depth_tpu.data import packed as packed_mod
+
+        cfg = self.cfg
+        if (isinstance(self.train_ds, packed_mod.PackedDataset)
+                and self.train_ds._lib is not None):
+            if not hasattr(self, "_native_loader"):
+                self._native_loader = packed_mod.NativeBatchLoader(
+                    self.train_ds, cfg.batch_size, shuffle=True,
+                    seed=cfg.seed, queue_depth=4, threads=2)
+            steps = len(self.train_ds) // cfg.batch_size
+            for _ in range(steps):
+                yield next(self._native_loader)
+        else:
+            yield from iterate_batches(self.train_ds, cfg.batch_size, True,
+                                       cfg.seed + epoch, drop_last=True)
+
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         """Steps are dispatched asynchronously and metric sums accumulate ON
         DEVICE (self._acc); the host syncs only at print_freq boundaries and
@@ -235,8 +256,7 @@ class Trainer:
         key = jax.random.fold_in(self.data_key, epoch)
         t0 = time.perf_counter()
         window_t0, window_n = t0, 0
-        for batch in iterate_batches(self.train_ds, cfg.batch_size, True,
-                                     cfg.seed + epoch, drop_last=True):
+        for batch in self._train_batches(epoch):
             batch = shard_batch(batch, self.mesh)
             t1 = time.perf_counter()
             self.state, step_sums = self._train_step(self.state, batch, key)

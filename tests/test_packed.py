@@ -74,3 +74,35 @@ def test_native_batch_loader_covers_epoch(shard):
     assert sorted(seen[:10]) == list(range(10))
     loader.close()
     r.close()
+
+
+def test_trainer_with_packed_native_loader(tmp_path):
+    """Training consumes packed shards through the native prefetch loader."""
+    import jax
+    from radar_depth_tpu.config import (AugmentConfig, DataConfig, ModelConfig,
+                                        OptimConfig, TrainConfig)
+    from radar_depth_tpu.data.synthetic import SyntheticNuScenes
+    from radar_depth_tpu.data.schema import SampleSpec
+    from radar_depth_tpu.train.loop import Trainer
+
+    spec = SampleSpec(height=64, width=96, num_sweeps=2)
+    for split, n, seed in (("train", 16, 0), ("val", 8, 1)):
+        ds = SyntheticNuScenes(n, spec=spec, seed=seed)
+        packed.write_shard(str(tmp_path / "data" / split / "data.rdtp"),
+                           [ds[i] for i in range(n)])
+    cfg = TrainConfig(
+        data=DataConfig(dataset="packed", data_root=str(tmp_path / "data"),
+                        height=64, width=96, num_sweeps=2),
+        model=ModelConfig(arch="resnet18", modality="rgbd", decoder="deconv2"),
+        optim=OptimConfig(), augment=AugmentConfig(),
+        batch_size=8, epochs=1, output_dir=str(tmp_path / "run"),
+        print_freq=100,
+    )
+    tr = Trainer(cfg)
+    if packed.native_available():
+        tr.fit()
+        assert hasattr(tr, "_native_loader")  # prefetch path was used
+        import os
+        assert os.path.exists(tmp_path / "run" / "test.csv")
+    else:
+        pytest.skip("librdtp unavailable")
