@@ -29,6 +29,9 @@ def main():
     p.add_argument("--sweeps", type=int, default=5)
     p.add_argument("--arch", default="resnet18_multistage")
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--mode", default="infer", choices=["infer", "train"],
+                   help="infer: preproc+forward (the driver metric); train: "
+                        "full step incl. augmentation, backward, SGD update")
     args = p.parse_args()
 
     from radar_depth_tpu.data.schema import SampleSpec
@@ -65,6 +68,10 @@ def main():
     variables = init_model(model, arch_spec, cfg, jax.random.PRNGKey(0))
     pre_cfg = PreprocessConfig(spec=spec)
 
+    if args.mode == "train":
+        return bench_train(args, model, arch_spec, cfg, variables, batch,
+                           n_chips)
+
     @jax.jit
     def infer_checksum(params, batch_stats, batch, carry):
         prepared = prepare_eval_batch(batch, pre_cfg)
@@ -96,6 +103,35 @@ def main():
     per_chip = img_per_sec / n_chips
     print(json.dumps({
         "metric": "images_per_sec_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(per_chip / 1000.0, 4),
+    }))
+
+
+def bench_train(args, model, arch_spec, cfg, variables, batch, n_chips):
+    """Full training-step throughput (BASELINE.json config #5): on-device
+    preproc + augmentation + forward + masked-loss backward + SGD update."""
+    from radar_depth_tpu.train.state import create_train_state, make_optimizer
+    from radar_depth_tpu.train.step import make_train_step
+
+    tx = make_optimizer(cfg.optim, steps_per_epoch=1000)
+    state = create_train_state(variables, tx)
+    step = jax.jit(make_train_step(model, arch_spec, cfg, tx),
+                   donate_argnums=(0,))
+    key = jax.random.PRNGKey(0)
+    for _ in range(args.warmup):
+        state, sums = step(state, batch, key)
+    assert np.isfinite(float(sums["loss"]))
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        state, sums = step(state, batch, key)
+    checksum = float(sums["loss"])  # forces the chain (state donation orders it)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(checksum)
+    per_chip = args.batch * args.iters / dt / n_chips
+    print(json.dumps({
+        "metric": "train_images_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(per_chip / 1000.0, 4),

@@ -103,24 +103,84 @@ def apply_affine_uv(A: jax.Array, uv: jax.Array) -> jax.Array:
     )
 
 
-def warp_image_bilinear(img: jax.Array, A: jax.Array) -> jax.Array:
-    """Warp one (H, W, C) image by forward affine A via inverse bilinear
-    sampling; out-of-bounds reads 0 (black border, like the reference's
-    rotation fill)."""
-    h, w, _ = img.shape
+def _src_coords(A: jax.Array, h: int, w: int, half_pixel: bool):
+    """Back-projected source coordinates for every output pixel.
+    A: (B, 2, 3) forward affines → (su, sv) each (B, H, W). A lives in raster
+    coords (bin centers at j+0.5); image sampling puts pixel centers at
+    integers — conjugate by the half-pixel shift when half_pixel."""
     Ainv = invert_affine(A)
-    # A lives in raster coords (bin centers at j+0.5); image sampling puts
-    # pixel centers at integers — conjugate by the half-pixel shift.
     vs, us = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32) + 0.5,
                           jnp.arange(w, dtype=jnp.float32) + 0.5, indexing="ij")
-    src_u = Ainv[0, 0] * us + Ainv[0, 1] * vs + Ainv[0, 2] - 0.5
-    src_v = Ainv[1, 0] * us + Ainv[1, 1] * vs + Ainv[1, 2] - 0.5
-    coords = jnp.stack([src_v, src_u], axis=0)  # (2, H, W): row, col
+    off = 0.5 if half_pixel else 0.0
+    su = (Ainv[:, 0, 0, None, None] * us + Ainv[:, 0, 1, None, None] * vs
+          + Ainv[:, 0, 2, None, None] - off)
+    sv = (Ainv[:, 1, 0, None, None] * us + Ainv[:, 1, 1, None, None] * vs
+          + Ainv[:, 1, 2, None, None] - off)
+    return su, sv
 
-    def sample_channel(ch):
-        return jax.scipy.ndimage.map_coordinates(ch, list(coords), order=1, cval=0.0)
 
-    return jnp.stack([sample_channel(img[..., c]) for c in range(img.shape[-1])], axis=-1)
+def _gather_pixels(flat: jax.Array, vi: jax.Array, ui: jax.Array,
+                   h: int, w: int) -> jax.Array:
+    """flat: (B, H*W, C); vi/ui: (B, H, W) int32 → (B, H*W, C), OOB = 0.
+    One batched take_along_axis per tap — ~4× faster than per-sample
+    map_coordinates gathers on TPU (measured; NOTES.md)."""
+    b = flat.shape[0]
+    ok = (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h)
+    lin = jnp.clip(vi, 0, h - 1) * w + jnp.clip(ui, 0, w - 1)
+    vals = jnp.take_along_axis(flat, lin.reshape(b, h * w, 1), axis=1)
+    return jnp.where(ok.reshape(b, h * w, 1), vals, 0.0)
+
+
+def warp_images_bilinear(imgs: jax.Array, A: jax.Array) -> jax.Array:
+    """Warp (B, H, W, C) images by (B, 2, 3) forward affines via inverse
+    bilinear sampling; out-of-bounds reads 0 (black border, like the
+    reference's rotation fill)."""
+    b, h, w, c = imgs.shape
+    su, sv = _src_coords(A, h, w, half_pixel=True)
+    u0 = jnp.floor(su)
+    v0 = jnp.floor(sv)
+    fu = (su - u0).reshape(b, h * w, 1)
+    fv = (sv - v0).reshape(b, h * w, 1)
+    u0i = u0.astype(jnp.int32)
+    v0i = v0.astype(jnp.int32)
+    flat = imgs.reshape(b, h * w, c)
+    p00 = _gather_pixels(flat, v0i, u0i, h, w)
+    p01 = _gather_pixels(flat, v0i, u0i + 1, h, w)
+    p10 = _gather_pixels(flat, v0i + 1, u0i, h, w)
+    p11 = _gather_pixels(flat, v0i + 1, u0i + 1, h, w)
+    out = (p00 * (1 - fu) * (1 - fv) + p01 * fu * (1 - fv)
+           + p10 * (1 - fu) * fv + p11 * fu * fv)
+    return out.reshape(b, h, w, c)
+
+
+def warp_image_bilinear(img: jax.Array, A: jax.Array) -> jax.Array:
+    """Single-image convenience wrapper over warp_images_bilinear."""
+    return warp_images_bilinear(img[None], A[None])[0]
+
+
+def warp_depths_nearest(depths: jax.Array, A: jax.Array, scales: jax.Array
+                        ) -> jax.Array:
+    """Warp (B, H, W) sparse/dense depth maps by (B, 2, 3) forward affines
+    with NEAREST-neighbor sampling and divide values by the zoom factor — the
+    reference's HorizontalFlip/Rotate/Resize semantics on depth maps
+    (upstream:dataloaders/transforms.py applies the geometric transform to the
+    depth image with nearest interpolation and scales values by 1/s).
+
+    Out-of-bounds reads 0 (no return)."""
+    b, h, w = depths.shape
+    su, sv = _src_coords(A, h, w, half_pixel=False)
+    ui = jnp.floor(su).astype(jnp.int32)
+    vi = jnp.floor(sv).astype(jnp.int32)
+    flat = depths.reshape(b, h * w, 1)
+    vals = _gather_pixels(flat, vi, ui, h, w).reshape(b, h, w)
+    return vals / scales[:, None, None]
+
+
+def warp_depth_nearest(depth: jax.Array, A: jax.Array, scale: jax.Array
+                       ) -> jax.Array:
+    """Single-map convenience wrapper over warp_depths_nearest."""
+    return warp_depths_nearest(depth[None], A[None],
+                               jnp.asarray(scale)[None])[0]
 
 
 def color_jitter(img: jax.Array, factors: jax.Array) -> jax.Array:

@@ -23,7 +23,8 @@ from radar_depth_tpu.ops.augment import (
     color_jitter,
     make_affine,
     sample_affine_params,
-    warp_image_bilinear,
+    warp_depths_nearest,
+    warp_images_bilinear,
 )
 from radar_depth_tpu.ops.geometry import project_points
 from radar_depth_tpu.ops.raster import (
@@ -43,6 +44,14 @@ class PreprocessConfig:
     # LiDAR GT instead of radar — the sparse-to-dense NYU/KITTI-style modality.
     sparsifier: str = "none"  # none | uar | sim_stereo
     num_samples: int = 200
+    # GT handling under train-time augmentation:
+    #   "warp"        nearest-warp the stored LiDAR map through the affine and
+    #                 divide by s — the reference's transform semantics, and
+    #                 fast (no 40k-point scatter in the train step).
+    #   "rerasterize" re-project the LiDAR points through the affine and
+    #                 z-buffer again — geometrically exact, but XLA scatter
+    #                 over ~40k points/sample is serialized and slow.
+    gt_augment: str = "warp"
 
 
 def _radar_uvz(batch: Dict, spec: SampleSpec):
@@ -114,16 +123,16 @@ def prepare_train_batch(
     rgb = batch["image"].astype(jnp.float32) / 255.0
     if not aug.enabled:
         radar = _raster(*_radar_uvz(batch, spec), spec, cfg.height_extension)
-        # GT from points so train/eval paths share the code (identical result
-        # to the stored map — tested in test_synthetic.py).
-        target = _raster(*_lidar_uvz(batch), spec)
+        target = (batch["lidar_depth"][..., None].astype(jnp.float32)
+                  if cfg.gt_augment == "warp"
+                  else _raster(*_lidar_uvz(batch), spec))
         return {"rgb": rgb, "radar": radar, "target": target}
 
     b = rgb.shape[0]
     scale, angle, flip, jitter = sample_affine_params(key, aug, b)
     A = make_affine(scale, angle, flip, spec.height, spec.width)
 
-    rgb = jax.vmap(warp_image_bilinear)(rgb, A)
+    rgb = warp_images_bilinear(rgb, A)
     rgb = color_jitter(rgb, jitter)
 
     def aug_raster(uv, z, valid, he):
@@ -132,7 +141,11 @@ def prepare_train_batch(
         return _raster(uv, z, valid, spec, he)
 
     radar = aug_raster(*_radar_uvz(batch, spec), cfg.height_extension)
-    target = aug_raster(*_lidar_uvz(batch), 0)
+    if cfg.gt_augment == "warp":
+        target = warp_depths_nearest(
+            batch["lidar_depth"].astype(jnp.float32), A, scale)[..., None]
+    else:
+        target = aug_raster(*_lidar_uvz(batch), 0)
     return {"rgb": rgb, "radar": radar, "target": target}
 
 

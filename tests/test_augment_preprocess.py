@@ -98,12 +98,14 @@ def test_prepare_train_batch_augmented_consistency():
 
 def test_prepare_train_batch_scale_divides_depth():
     """One isolated LiDAR point: under scale s its raster position follows the
-    affine and its depth value is divided by s (reference rule depth /= s)."""
+    affine and its depth value is divided by s (reference rule depth /= s).
+    Uses the exact re-rasterization GT mode."""
     s = 1.25
     cfg = PreprocessConfig(
         spec=SPEC,
         augment=AugmentConfig(scale_range=(s, s), rotation_deg=0.0,
                               hflip_prob=0.0, jitter=0.0),
+        gt_augment="rerasterize",
     )
     batch = {k: np.zeros_like(np.asarray(v)) for k, v in _batch().items()}
     K = np.array([[100.0, 0, 80], [0, 100.0, 48], [0, 0, 1]], np.float32)
@@ -133,3 +135,32 @@ def test_pack_model_inputs():
     assert rgb.shape[-1] == 3 and radar.shape[-1] == 1
     (d,) = pack_model_inputs(out, "single", "d")
     assert d.shape[-1] == 1
+
+
+def test_gt_warp_mode_flip_and_scale():
+    """Default gt_augment="warp" (reference nearest-warp semantics): pure flip
+    is an exact bin flip of the stored map; zoom divides values by s (nearest
+    warp may duplicate a sparse pixel — upstream behavior)."""
+    batch = _batch()
+    cfg = PreprocessConfig(
+        spec=SPEC,
+        augment=AugmentConfig(scale_range=(1.0, 1.0), rotation_deg=0.0,
+                              hflip_prob=1.0, jitter=0.0),
+    )
+    out = prepare_train_batch(batch, cfg, jax.random.PRNGKey(0))
+    want = np.asarray(batch["lidar_depth"])[:, :, ::-1, None]
+    np.testing.assert_allclose(np.asarray(out["target"]), want, atol=1e-5)
+
+    sfac = 1.25
+    cfg2 = PreprocessConfig(
+        spec=SPEC,
+        augment=AugmentConfig(scale_range=(sfac, sfac), rotation_deg=0.0,
+                              hflip_prob=0.0, jitter=0.0),
+    )
+    out2 = prepare_train_batch(batch, cfg2, jax.random.PRNGKey(1))
+    t = np.asarray(out2["target"])
+    src = np.asarray(batch["lidar_depth"])
+    vals = np.unique(t[t > 0])
+    src_vals = set(np.round(np.unique(src[src > 0]) / sfac, 4))
+    # every warped value is a stored value divided by s
+    assert all(np.round(v, 4) in src_vals for v in vals[:50])
