@@ -29,6 +29,7 @@ def main():
     p.add_argument("--sweeps", type=int, default=5)
     p.add_argument("--arch", default="resnet18_multistage")
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--remat", action="store_true")
     p.add_argument("--mode", default="infer", choices=["infer", "train"],
                    help="infer: preproc+forward (the driver metric); train: "
                         "full step incl. augmentation, backward, SGD update")
@@ -47,9 +48,10 @@ def main():
     spec = SampleSpec(height=args.height, width=args.width,
                       num_sweeps=args.sweeps, max_depth=80.0)
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[args.dtype]
+    extra = {"remat": True} if (args.remat and "multistage" in args.arch) else {}
     model, arch_spec = create_model(
         args.arch, decoder="upproj", output_size=(spec.height, spec.width),
-        dtype=dtype,
+        dtype=dtype, **extra,
     )
 
     ds = SyntheticNuScenes(args.batch, spec=spec, seed=0)

@@ -56,6 +56,7 @@ class ModelConfig:
     rel_threshold: float = 0.15
     pretrained: str = ""  # path to converted torchvision weights (no network)
     stage1_path: str = ""  # init multistage stage1/stage2 from a checkpoint
+    remat: bool = False  # rematerialize multistage stages in backward
 
 
 @dataclasses.dataclass(frozen=True)
@@ -132,6 +133,8 @@ def parse_command(argv=None) -> TrainConfig:
     p.add_argument("--rel-threshold", type=float, default=0.15)
     p.add_argument("--pretrained", default="")
     p.add_argument("--stage1-path", default="")
+    p.add_argument("--remat", action="store_true",
+                   help="recompute multistage stages in backward (bigger batches)")
     # schedule
     p.add_argument("--lr-decay-epochs", type=int, default=5)
     p.add_argument("--lr-decay-factor", type=float, default=0.1)
@@ -148,7 +151,7 @@ def parse_command(argv=None) -> TrainConfig:
             arch=a.arch, modality=a.modality, decoder=a.decoder, dtype=a.dtype,
             filter_mode=a.filter_mode, abs_threshold=a.abs_threshold,
             rel_threshold=a.rel_threshold, pretrained=a.pretrained,
-            stage1_path=a.stage1_path,
+            stage1_path=a.stage1_path, remat=a.remat,
         ),
         optim=OptimConfig(
             lr=a.lr, momentum=a.momentum, weight_decay=a.weight_decay,

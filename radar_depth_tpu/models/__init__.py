@@ -65,13 +65,14 @@ def _late(depth):
 
 
 def _multi(depth):
-    def build(decoder="upproj", output_size=(450, 800), dtype=None, **kw):
+    def build(decoder="upproj", output_size=(450, 800), dtype=None,
+              remat=False, **kw):
         import jax.numpy as jnp
 
         kw.pop("modality", None)
         return MultiStageNet(
             depth=depth, decoder_kind=decoder, output_size=tuple(output_size),
-            dtype=dtype or jnp.float32, **kw,
+            dtype=dtype or jnp.float32, remat=remat, **kw,
         )
 
     return build

@@ -108,6 +108,11 @@ class MultiStageNet(nn.Module):
     rel_threshold: float = 0.15
     norm: Callable = None
     dtype: Any = jnp.float32
+    # Rematerialize each stage in the backward pass (jax.checkpoint): trades
+    # ~one extra forward for not storing both stages' activations — enables
+    # larger train batches on a 16 GB chip (SURVEY.md: "use jax.checkpoint /
+    # rematerialisation to trade FLOPs for memory").
+    remat: bool = False
 
     @nn.compact
     def __call__(self, rgb: jax.Array, radar: jax.Array, train: bool = False):
@@ -115,7 +120,11 @@ class MultiStageNet(nn.Module):
             depth=self.depth, decoder_kind=self.decoder_kind,
             output_size=self.output_size, norm=self.norm, dtype=self.dtype,
         )
-        coarse = LateFusionNet(**kwargs, name="stage1")(rgb, radar, train)
+        stage_cls = (
+            nn.remat(LateFusionNet, static_argnums=(3,)) if self.remat
+            else LateFusionNet
+        )
+        coarse = stage_cls(**kwargs, name="stage1")(rgb, radar, train)
         filtered = filter_radar_by_prediction(
             radar,
             jax.lax.stop_gradient(coarse),
@@ -123,5 +132,5 @@ class MultiStageNet(nn.Module):
             rel_threshold=self.rel_threshold,
             mode=self.filter_mode,
         )
-        refined = LateFusionNet(**kwargs, name="stage2")(rgb, filtered, train)
+        refined = stage_cls(**kwargs, name="stage2")(rgb, filtered, train)
         return coarse, refined

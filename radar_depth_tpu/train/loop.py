@@ -84,6 +84,7 @@ class Trainer:
                     filter_mode=cfg.model.filter_mode,
                     abs_threshold=cfg.model.abs_threshold,
                     rel_threshold=cfg.model.rel_threshold,
+                    remat=cfg.model.remat,
                 )
                 if "multistage" in cfg.model.arch
                 else {}
