@@ -219,8 +219,13 @@ void rdtp_close(void* h) {
 void* rdtp_loader_create(void* shard, uint64_t batch_size, int shuffle,
                          uint64_t seed, uint64_t queue_depth,
                          uint64_t num_threads) {
+  auto* s = static_cast<Shard*>(shard);
+  // A batch larger than the dataset would make the worker's reshuffle loop
+  // spin forever with remaining < batch_size and then read past the end of
+  // the order vector (heap over-read) — reject at creation.
+  if (batch_size == 0 || batch_size > s->num_samples) return nullptr;
   auto* L = new Loader();
-  L->shard = static_cast<Shard*>(shard);
+  L->shard = s;
   L->batch_size = batch_size;
   L->shuffle = shuffle != 0;
   L->seed = seed;

@@ -32,6 +32,19 @@ from radar_depth_tpu.train.state import create_train_state, make_optimizer
 from radar_depth_tpu.train.step import init_model
 
 
+def _arch_kwargs(cfg: TrainConfig) -> Dict:
+    """Arch-specific create_model kwargs, mirroring Trainer exactly so a run
+    trained with non-default radar filtering (--filter-mode/--*-threshold) is
+    served with the same stage-2 filter (ADVICE r1 medium #1)."""
+    if "multistage" not in cfg.model.arch:
+        return {}
+    return dict(
+        filter_mode=cfg.model.filter_mode,
+        abs_threshold=cfg.model.abs_threshold,
+        rel_threshold=cfg.model.rel_threshold,
+    )
+
+
 class Predictor:
     """Checkpoint-backed depth predictor."""
 
@@ -44,6 +57,7 @@ class Predictor:
             decoder=cfg.model.decoder,
             output_size=(spec.height, spec.width),
             dtype={"float32": jnp.float32, "bfloat16": jnp.bfloat16}[cfg.model.dtype],
+            **_arch_kwargs(cfg),
         )
         self.params = params
         self.batch_stats = batch_stats
@@ -61,6 +75,7 @@ class Predictor:
             cfg.model.arch, modality=cfg.model.modality,
             decoder=cfg.model.decoder,
             output_size=(cfg.data.height, cfg.data.width),
+            **_arch_kwargs(cfg),
         )
         variables = init_model(model, arch_spec, cfg, jax.random.PRNGKey(0))
         tx = make_optimizer(cfg.optim, 1)

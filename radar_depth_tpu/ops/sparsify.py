@@ -30,17 +30,22 @@ def uniform_sampling(depth: jax.Array, key: jax.Array, num_samples: int
 
 
 def simulated_stereo(depth: jax.Array, key: jax.Array, num_samples: int,
-                     max_depth: float = 80.0, dilate_iterations: int = 0
-                     ) -> jax.Array:
+                     max_depth: float = 80.0, min_depth: float = 1.0,
+                     dilate_iterations: int = 0) -> jax.Array:
     """Quantize inverse depth into bands and keep one contour sample set per
     band, emulating stereo-matcher density (upstream:dense_to_sparse.py::
-    SimulatedStereo — pixels near disparity-level boundaries survive)."""
+    SimulatedStereo — pixels near disparity-level boundaries survive).
+
+    Bands span [1/max_depth, 1/min_depth] in inverse depth (disparity levels);
+    depths outside the range clamp to the boundary bands (ADVICE r1 low #3)."""
     valid = depth > 0
     safe = jnp.where(valid, depth, max_depth)
     inv = 1.0 / jnp.maximum(safe, 1e-3)
     inv_min = 1.0 / max_depth
+    inv_max = 1.0 / max(min_depth, 1e-3)
     n_levels = 64
-    band = jnp.floor((inv - inv_min) / (1.0 / 1.0 - inv_min + 1e-6) * n_levels)
+    band = jnp.floor((inv - inv_min) / (inv_max - inv_min + 1e-6) * n_levels)
+    band = jnp.clip(band, 0, n_levels - 1)
     # contour pixels: band differs from a neighbor
     down = jnp.roll(band, 1, axis=-2)
     right = jnp.roll(band, 1, axis=-1)

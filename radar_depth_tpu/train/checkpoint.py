@@ -27,12 +27,24 @@ def _abs(path: str) -> str:
 
 class CheckpointManager:
     def __init__(self, output_dir: str, max_to_keep: int = 3):
+        from orbax.checkpoint import checkpoint_managers as cm
+
         self.dir = _abs(os.path.join(output_dir, "checkpoints"))
         os.makedirs(self.dir, exist_ok=True)
+        # Preserve the latest epoch AND the best-N by val RMSE. best_fn alone
+        # would let orbax delete the latest checkpoint whenever it is not
+        # among the best, silently rewinding --resume to an older epoch
+        # (reference semantics: resume-from-last + model_best copy,
+        # upstream:utils.py::save_checkpoint; ADVICE r1 medium #2).
+        policy = cm.AnyPreservationPolicy([
+            cm.LatestN(1),
+            cm.BestN(get_metric_fn=lambda m: m["rmse"], reverse=True,
+                     n=max_to_keep),
+        ])
         self._mgr = ocp.CheckpointManager(
             self.dir,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True,
+                create=True, preservation_policy=policy,
                 best_fn=lambda m: m["rmse"], best_mode="min",
             ),
         )

@@ -38,7 +38,7 @@ from radar_depth_tpu.train.step import (
     make_train_step,
 )
 from radar_depth_tpu.utils.csvlog import EpochCSVLogger, write_best_txt
-from radar_depth_tpu.utils.viz import comparison_panel, save_image
+from radar_depth_tpu.utils.viz import add_row, comparison_panel, save_image
 
 
 def make_datasets(cfg: TrainConfig):
@@ -234,7 +234,7 @@ class Trainer:
         cfg = self.cfg
         if (isinstance(self.train_ds, packed_mod.PackedDataset)
                 and self.train_ds._lib is not None):
-            if not hasattr(self, "_native_loader"):
+            if getattr(self, "_native_loader", None) is None:
                 self._native_loader = packed_mod.NativeBatchLoader(
                     self.train_ds, cfg.batch_size, shuffle=True,
                     seed=cfg.seed, queue_depth=4, threads=2)
@@ -249,35 +249,48 @@ class Trainer:
         """Steps are dispatched asynchronously and metric sums accumulate ON
         DEVICE (self._acc); the host syncs only at print_freq boundaries and
         at epoch end. This device sits behind a relay with ~30 ms per
-        synchronized dispatch — per-step fetches would dominate the epoch."""
+        synchronized dispatch — per-step fetches would dominate the epoch.
+
+        gpu_time semantics match the reference (device time per step, as if
+        timed around torch.cuda.synchronize): measured at the sync boundaries
+        as (window wall − window host/data time) / steps — the device runs
+        steps back-to-back between syncs, so the drained-window wall clock IS
+        the device time plus non-overlapped host time."""
         cfg = self.cfg
         acc = None
         nsteps = 0
         data_t, step_t = AverageMeter(), AverageMeter()
         key = jax.random.fold_in(self.data_key, epoch)
         t0 = time.perf_counter()
-        window_t0, window_n = t0, 0
+        window_t0, window_n, window_data = t0, 0, 0.0
         for batch in self._train_batches(epoch):
             batch = shard_batch(batch, self.mesh)
             t1 = time.perf_counter()
             self.state, step_sums = self._train_step(self.state, batch, key)
             acc = step_sums if acc is None else self._acc(acc, step_sums)
-            t2 = time.perf_counter()
             data_t.update(t1 - t0)
-            step_t.update(t2 - t1)  # dispatch time; device time folded in at syncs
+            window_data += t1 - t0
             nsteps += 1
             if nsteps % cfg.print_freq == 0:
                 m = jax.tree_util.tree_map(np.asarray, acc)  # ← sync point
                 wall = time.perf_counter() - window_t0
-                per_step = wall / max(nsteps - window_n, 1)
+                steps_in_window = max(nsteps - window_n, 1)
+                per_step = wall / steps_in_window
+                device_per_step = max(wall - window_data, 0.0) / steps_in_window
+                step_t.update(device_per_step, n=steps_in_window)
                 loss = float(m["loss"]) / nsteps
                 fm = finalize_metrics({k: v for k, v in m.items() if k != "loss"})
                 print(f"epoch {epoch} step {nsteps}: loss={loss:.4f} "
                       f"rmse={fm['rmse']:.3f} mae={fm['mae']:.3f} "
                       f"{per_step * 1e3:.0f}ms/step")
-                window_t0, window_n = time.perf_counter(), nsteps
+                window_t0, window_n, window_data = time.perf_counter(), nsteps, 0.0
             t0 = time.perf_counter()
         m = jax.tree_util.tree_map(np.asarray, acc) if acc is not None else {}
+        if nsteps > window_n:  # drain the ragged final window
+            wall = time.perf_counter() - window_t0
+            steps_in_window = nsteps - window_n
+            step_t.update(max(wall - window_data, 0.0) / steps_in_window,
+                          n=steps_in_window)
         loss_sum = float(m.pop("loss", 0.0))
         metrics = finalize_metrics(m) if m else {}
         metrics["loss"] = loss_sum / max(nsteps, 1)
@@ -286,39 +299,46 @@ class Trainer:
         return metrics
 
     def validate(self, epoch: int = 0, viz: bool = True) -> Dict[str, float]:
+        """Sharded eval pass. Comparison panel: one row (first sample) from
+        every val_viz_every-th batch, up to 8 rows stacked into one PNG per
+        epoch — the reference's skip-sampled merge_into_row/add_row behavior
+        (upstream:main.py::validate, SURVEY.md §2 C11)."""
         cfg = self.cfg
         sums = zeros_metric_sums()
         acc = None
-        data_t, step_t = AverageMeter(), AverageMeter()
+        data_t = AverageMeter()
         t0 = time.perf_counter()
-        first_batch = None
+        wall_t0, total_data, nsteps = t0, 0.0, 0
+        viz_outs = []  # async device results; fetched once at the end
         for i, batch in enumerate(iterate_batches(self.val_ds, cfg.batch_size,
                                                   False, 0, drop_last=False)):
             batch, _ = pad_batch_to(batch, cfg.batch_size)
             batch = shard_batch(batch, self.mesh)
-            if first_batch is None:
-                first_batch = batch
             t1 = time.perf_counter()
             step_sums = self._eval_step(self.state.params, self.state.batch_stats,
                                         batch)
             acc = step_sums if acc is None else self._acc(acc, step_sums)
-            t2 = time.perf_counter()
+            if viz and i % cfg.val_viz_every == 0 and len(viz_outs) < 8:
+                viz_outs.append(self._predict(
+                    self.state.params, self.state.batch_stats, batch))
             data_t.update(t1 - t0)
-            step_t.update(t2 - t1)
+            total_data += t1 - t0
+            nsteps += 1
             t0 = time.perf_counter()
         sums = jax.tree_util.tree_map(np.asarray, acc) if acc is not None else sums
+        wall = time.perf_counter() - wall_t0  # sync above drained the device
         sums = dict(sums)
         sums.pop("loss", None)
         metrics = finalize_metrics(sums)
         metrics["data_time"] = data_t.average
-        metrics["gpu_time"] = step_t.average
-        if viz and first_batch is not None:
-            out = self._predict(self.state.params, self.state.batch_stats,
-                                first_batch)
-            panel = comparison_panel(
-                jax.tree_util.tree_map(np.asarray, out),
-                max_depth=cfg.data.max_depth,
-            )
+        metrics["gpu_time"] = max(wall - total_data, 0.0) / max(nsteps, 1)
+        if viz_outs:
+            panel = None
+            for out in viz_outs:
+                out = jax.tree_util.tree_map(np.asarray, out)
+                row = comparison_panel({k: v[:1] for k, v in out.items()},
+                                       max_rows=1, max_depth=cfg.data.max_depth)
+                panel = add_row(panel, row)
             save_image(panel, os.path.join(cfg.output_dir,
                                            f"comparison_epoch{epoch}.png"))
         return metrics
@@ -343,9 +363,21 @@ class Trainer:
                 self.best_rmse = val_m["rmse"]
                 write_best_txt(os.path.join(cfg.output_dir, "best.txt"),
                                epoch, val_m)
-        self.ckpt.close()
-        if self.tboard is not None:
+        self.close()
+
+    def close(self):
+        """Release host resources (native prefetch threads, checkpointer,
+        loggers). Idempotent."""
+        loader = getattr(self, "_native_loader", None)
+        if loader is not None:
+            loader.close()
+            self._native_loader = None
+        if getattr(self, "ckpt", None) is not None:
+            self.ckpt.close()
+            self.ckpt = None
+        if getattr(self, "tboard", None) is not None:
             self.tboard.close()
+            self.tboard = None
 
 
 def _dtype(name: str):

@@ -6,8 +6,18 @@ Note: this machine's axon sitecustomize calls jax.config.update(
 enough — the config must be overridden after import, before first backend use.
 """
 
+import os
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache: repeated suite runs skip the multi-minute
+# CPU-XLA compiles (VERDICT r1 weak #9). Safe to delete at any time.
+_cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

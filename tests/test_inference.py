@@ -1,5 +1,6 @@
 """Predictor (serving-style API) round-trip test."""
 
+import pytest
 import numpy as np
 
 from radar_depth_tpu.config import (
@@ -12,6 +13,8 @@ from radar_depth_tpu.config import (
 from radar_depth_tpu.data.synthetic import SyntheticNuScenes
 from radar_depth_tpu.inference import Predictor
 from radar_depth_tpu.train.loop import Trainer
+
+pytestmark = pytest.mark.slow
 
 
 def test_predictor_from_run(tmp_path):

@@ -19,6 +19,8 @@ from radar_depth_tpu.utils.torch_convert import (
     variables_to_torch_state_dict,
 )
 
+pytestmark = pytest.mark.slow
+
 OUT = (64, 96)
 RNG = np.random.default_rng(3)
 

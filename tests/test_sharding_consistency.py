@@ -1,6 +1,7 @@
 """DP sharding must not change numerics: eval metrics on an 8-device mesh
 equal the single-device result (SURVEY.md §4 item 4)."""
 
+import pytest
 import numpy as np
 import jax
 
@@ -9,6 +10,8 @@ from radar_depth_tpu.data.synthetic import SyntheticNuScenes
 from radar_depth_tpu.models import create_model
 from radar_depth_tpu.parallel import batch_sharding, make_mesh, replicated_sharding, shard_batch
 from radar_depth_tpu.train.step import init_model, make_eval_step
+
+pytestmark = pytest.mark.slow
 
 
 def test_eval_metrics_match_across_mesh_sizes():

@@ -4,6 +4,7 @@ determinism, checkpoint round-trip (SURVEY.md §4 items 3/4)."""
 import os
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -62,6 +63,7 @@ def test_sgd_matches_torch_oracle():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_train_smoke_sharded(tmp_path):
     """One epoch of the late-fusion model on the 8-device CPU mesh: loss
     finite, metrics populated, CSVs written, checkpoint saved+restorable."""
@@ -91,6 +93,7 @@ def test_train_smoke_sharded(tmp_path):
         float(tr2.state.step), float(tr.state.step))
 
 
+@pytest.mark.slow
 def test_train_step_deterministic(tmp_path):
     """Same seed ⇒ bitwise-identical first-step loss (jit purity + explicit
     keys; SURVEY.md §5 determinism)."""
@@ -110,6 +113,7 @@ def test_train_step_deterministic(tmp_path):
     assert losses[0] == losses[1]
 
 
+@pytest.mark.slow
 def test_multistage_init_from_stage1(tmp_path):
     """SURVEY.md §3.5 two-phase workflow: --stage1-path grafts a late-fusion
     checkpoint into both stages of the multistage model."""
@@ -133,3 +137,23 @@ def test_multistage_init_from_stage1(tmp_path):
         assert len(leaves_w) == len(leaves_g)
         for a, b in zip(leaves_g, leaves_w):
             np.testing.assert_array_equal(a, b)
+
+
+def test_checkpoint_keeps_latest_and_best(tmp_path):
+    """Latest epoch must survive preservation even when it is not among the
+    best-N by RMSE, or --resume silently rewinds and re-trains epochs
+    (reference: resume-from-last + model_best copy; ADVICE r1 medium #2)."""
+    from radar_depth_tpu.train import checkpoint as ckpt_lib
+
+    mgr = ckpt_lib.CheckpointManager(str(tmp_path), max_to_keep=2)
+    rmses = [5.0, 1.0, 2.0, 3.0, 4.0]  # best-2 = epochs 1,2; latest = 4
+    for epoch, rmse in enumerate(rmses):
+        state = {"w": np.full(4, float(epoch), np.float32)}
+        mgr.save(epoch, state, {"rmse": rmse})
+    assert mgr.best_step() == 1
+    template = {"w": np.zeros(4, np.float32)}
+    state, epoch, best = mgr.restore(template)
+    assert epoch == 4, "latest checkpoint was deleted by the best-N policy"
+    np.testing.assert_array_equal(state["w"], np.full(4, 4.0, np.float32))
+    assert best <= 4.0
+    mgr.close()
