@@ -135,10 +135,17 @@ def parse_command(argv=None) -> TrainConfig:
     p.add_argument("--stage1-path", default="")
     p.add_argument("--remat", action="store_true",
                    help="recompute multistage stages in backward (bigger batches)")
+    p.add_argument("--multistage-uncertainty", action="store_true",
+                   help="learned per-stage log-variance loss weighting "
+                        "(speculative parity surface, SURVEY.md §2 C7 [M])")
     # schedule
     p.add_argument("--lr-decay-epochs", type=int, default=5)
     p.add_argument("--lr-decay-factor", type=float, default=0.1)
     a = p.parse_args(argv)
+    if a.multistage_uncertainty:
+        if not a.arch.endswith("_multistage"):
+            p.error("--multistage-uncertainty requires a *_multistage arch")
+        a.arch += "_uncertainty"
     return TrainConfig(
         data=DataConfig(
             dataset=a.dataset, data_root=a.data_root, height=a.height,

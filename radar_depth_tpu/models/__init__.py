@@ -64,7 +64,7 @@ def _late(depth):
     return build
 
 
-def _multi(depth):
+def _multi(depth, uncertainty=False):
     def build(decoder="upproj", output_size=(450, 800), dtype=None,
               remat=False, **kw):
         import jax.numpy as jnp
@@ -72,7 +72,8 @@ def _multi(depth):
         kw.pop("modality", None)
         return MultiStageNet(
             depth=depth, decoder_kind=decoder, output_size=tuple(output_size),
-            dtype=dtype or jnp.float32, remat=remat, **kw,
+            dtype=dtype or jnp.float32, remat=remat, uncertainty=uncertainty,
+            **kw,
         )
 
     return build
@@ -85,6 +86,15 @@ ARCH_REGISTRY = {
     "resnet34_latefusion": ArchSpec("resnet34_latefusion", "late", False, _late(34)),
     "resnet18_multistage": ArchSpec("resnet18_multistage", "late", True, _multi(18)),
     "resnet34_multistage": ArchSpec("resnet34_multistage", "late", True, _multi(34)),
+    # SPECULATIVE registry entries (SURVEY.md §2 C7 note [M]: reference may
+    # ship *_multistage_uncertainty*): learned per-stage log-variance loss
+    # weighting. Also reachable via --multistage-uncertainty.
+    "resnet18_multistage_uncertainty": ArchSpec(
+        "resnet18_multistage_uncertainty", "late", True,
+        _multi(18, uncertainty=True)),
+    "resnet34_multistage_uncertainty": ArchSpec(
+        "resnet34_multistage_uncertainty", "late", True,
+        _multi(34, uncertainty=True)),
 }
 
 

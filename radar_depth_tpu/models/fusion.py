@@ -113,6 +113,13 @@ class MultiStageNet(nn.Module):
     # larger train batches on a 16 GB chip (SURVEY.md: "use jax.checkpoint /
     # rematerialisation to trade FLOPs for memory").
     remat: bool = False
+    # SPECULATIVE (SURVEY.md §2 C7 registry note, [M]): the reference may ship
+    # `*_multistage_uncertainty*` archs. This variant learns per-stage
+    # homoscedastic log-variances s_i and weights the multistage loss as
+    # Σ exp(−s_i)·ℓ_i + s_i (Kendall et al. 2018). Gated behind the
+    # `--multistage-uncertainty` flag / `*_uncertainty` registry names until
+    # the reference is readable.
+    uncertainty: bool = False
 
     @nn.compact
     def __call__(self, rgb: jax.Array, radar: jax.Array, train: bool = False):
@@ -133,4 +140,9 @@ class MultiStageNet(nn.Module):
             mode=self.filter_mode,
         )
         refined = stage_cls(**kwargs, name="stage2")(rgb, filtered, train)
+        if self.uncertainty:
+            log_var = self.param("stage_log_var",
+                                 nn.initializers.zeros_init(), (2,),
+                                 jnp.float32)
+            return coarse, refined, log_var
         return coarse, refined

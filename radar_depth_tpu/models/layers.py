@@ -190,11 +190,16 @@ def _interp_matrix(out_size: int, in_size: int) -> jax.Array:
 def resize_bilinear_matmul(x: jax.Array, height: int, width: int) -> jax.Array:
     """Bilinear resize as two separable matmuls (MXU path): for each channel
     y = R_h · x · R_wᵀ. Numerically equivalent to resize_bilinear; much faster
-    on TPU than the gather formulation for small channel counts."""
+    on TPU than the gather formulation for small channel counts.
+
+    Runs in the input dtype: for float32 models (parity tests) this is exact
+    f32·HIGHEST; for bf16 compute an f32 upcast here costs a multi-pass
+    HIGHEST matmul (~1.6 ms/stage at B=128, measured) for ≤4e-3 relative
+    difference on an already-bf16 conv output — not worth it."""
     n, h, w, c = x.shape
-    rh = _interp_matrix(height, h)
-    rw = _interp_matrix(width, w)
-    y = jnp.einsum("Hh,nhwc->nHwc", rh, x.astype(jnp.float32),
+    rh = _interp_matrix(height, h).astype(x.dtype)
+    rw = _interp_matrix(width, w).astype(x.dtype)
+    y = jnp.einsum("Hh,nhwc->nHwc", rh, x,
                    precision=jax.lax.Precision.HIGHEST)
     y = jnp.einsum("Ww,nhwc->nhWc", rw, y,
                    precision=jax.lax.Precision.HIGHEST)
@@ -203,7 +208,11 @@ def resize_bilinear_matmul(x: jax.Array, height: int, width: int) -> jax.Array:
 
 def max_pool_torch(x: jax.Array, window: int = 3, stride: int = 2, padding: int = 1):
     """MaxPool2d(window, stride, padding) with torch floor-mode semantics —
-    upstream torchvision ResNet stem (SURVEY.md §2 C7a)."""
+    upstream torchvision ResNet stem (SURVEY.md §2 C7a).
+
+    (A strided-slices + max-tree variant won a standalone microbench by ~5%
+    but regressed the full graph by 17% — reduce_window fuses better in
+    context; keep it.)"""
     return nn.max_pool(
         x,
         window_shape=(window, window),

@@ -61,10 +61,30 @@ def multistage_loss(
     return total
 
 
+def multistage_uncertainty_loss(
+    preds: tuple,
+    log_var: jax.Array,
+    target: jax.Array,
+    criterion: str = "l1",
+) -> jax.Array:
+    """Uncertainty-weighted multistage loss: Σ_i exp(−s_i)·ℓ_i(Dᵢ,gt) + s_i
+    with learned per-stage log-variances s (Kendall et al. 2018 homoscedastic
+    weighting). SPECULATIVE parity surface — the reference possibly ships
+    `*_multistage_uncertainty*` archs (SURVEY.md §2 C7 [M]); formula to be
+    re-checked when /root/reference is readable."""
+    fn = get_loss(criterion)
+    total = 0.0
+    for i, p in enumerate(preds):
+        s = log_var[i].astype(jnp.float32)
+        total = total + jnp.exp(-s) * fn(p, target) + s
+    return total
+
+
 __all__ = [
     "masked_l1_loss",
     "masked_mse_loss",
     "multistage_loss",
+    "multistage_uncertainty_loss",
     "get_loss",
     "LOSSES",
 ]

@@ -22,7 +22,11 @@ import optax
 from radar_depth_tpu.config import TrainConfig
 from radar_depth_tpu.metrics import compute_metric_sums
 from radar_depth_tpu.models import ArchSpec
-from radar_depth_tpu.objectives import get_loss, multistage_loss
+from radar_depth_tpu.objectives import (
+    get_loss,
+    multistage_loss,
+    multistage_uncertainty_loss,
+)
 from radar_depth_tpu.ops.preprocess import (
     PreprocessConfig,
     pack_model_inputs,
@@ -51,8 +55,12 @@ def _forward(model, spec: ArchSpec, variables, prepared, cfg: TrainConfig,
 
 def _loss_and_pred(out, target, cfg: TrainConfig, spec: ArchSpec):
     if spec.multistage:
-        loss = multistage_loss(out, target, cfg.optim.criterion,
-                               cfg.optim.stage_weights)
+        if len(out) == 3:  # (coarse, refined, stage_log_var) — uncertainty
+            loss = multistage_uncertainty_loss(out[:2], out[2], target,
+                                               cfg.optim.criterion)
+        else:
+            loss = multistage_loss(out, target, cfg.optim.criterion,
+                                   cfg.optim.stage_weights)
         pred = out[1]
     else:
         loss = get_loss(cfg.optim.criterion)(out, target)

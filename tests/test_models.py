@@ -122,3 +122,46 @@ def test_resize_matmul_matches_gather():
     a = np.asarray(resize_bilinear(x, 45, 80))
     b = np.asarray(resize_bilinear_matmul(x, 45, 80))
     np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_multistage_uncertainty_arch_trains():
+    """resnet18_multistage_uncertainty: third output is the (2,) learned
+    log-variance; one SGD step moves it (gradient flows from the loss)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from radar_depth_tpu.config import DataConfig, ModelConfig, TrainConfig
+    from radar_depth_tpu.data.synthetic import SyntheticNuScenes
+    from radar_depth_tpu.models import create_model
+    from radar_depth_tpu.train.state import create_train_state, make_optimizer
+    from radar_depth_tpu.train.step import init_model, make_train_step
+
+    cfg = TrainConfig(
+        data=DataConfig(height=64, width=96, num_sweeps=2, num_train=4,
+                        num_val=4),
+        model=ModelConfig(arch="resnet18_multistage_uncertainty",
+                          decoder="deconv2"),
+        batch_size=4,
+    )
+    model, spec = create_model(cfg.model.arch, decoder="deconv2",
+                               output_size=(64, 96))
+    variables = init_model(model, spec, cfg, jax.random.PRNGKey(0))
+    assert variables["params"]["stage_log_var"].shape == (2,)
+    tx = make_optimizer(cfg.optim, steps_per_epoch=10)
+    state = create_train_state(variables, tx)
+    ds = SyntheticNuScenes(4, spec=cfg.data.sample_spec(), seed=0)
+    batch = {k: jnp.asarray(v) for k, v in ds.batch(range(4)).items()}
+    step = jax.jit(make_train_step(model, spec, cfg, tx))
+    new_state, sums = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(sums["loss"]))
+    moved = np.abs(np.asarray(new_state.params["stage_log_var"])).max()
+    assert moved > 0, "log_var did not receive a gradient"
+
+
+def test_multistage_uncertainty_cli_flag():
+    from radar_depth_tpu.config import parse_command
+
+    cfg = parse_command(["--arch", "resnet18_multistage",
+                         "--multistage-uncertainty"])
+    assert cfg.model.arch == "resnet18_multistage_uncertainty"

@@ -114,3 +114,25 @@ def test_average_meter():
     m.update(1.0, n=2)
     m.update(4.0, n=1)
     np.testing.assert_allclose(m.average, 2.0)
+
+
+def test_multistage_uncertainty_loss_formula():
+    """Kendall weighting: sum_i exp(-s_i)*l_i + s_i (speculative parity
+    surface behind --multistage-uncertainty; SURVEY.md §2 C7 [M])."""
+    import jax.numpy as jnp
+
+    from radar_depth_tpu.objectives import (
+        masked_l1_loss,
+        multistage_uncertainty_loss,
+    )
+
+    rng = np.random.default_rng(7)
+    target = jnp.asarray(rng.uniform(0, 10, (2, 8, 8, 1)).astype(np.float32))
+    p1 = jnp.asarray(rng.uniform(0, 10, (2, 8, 8, 1)).astype(np.float32))
+    p2 = jnp.asarray(rng.uniform(0, 10, (2, 8, 8, 1)).astype(np.float32))
+    s = jnp.asarray([0.3, -0.2], np.float32)
+    got = float(multistage_uncertainty_loss((p1, p2), s, target, "l1"))
+    l1 = float(masked_l1_loss(p1, target))
+    l2 = float(masked_l1_loss(p2, target))
+    want = np.exp(-0.3) * l1 + 0.3 + np.exp(0.2) * l2 - 0.2
+    np.testing.assert_allclose(got, want, rtol=1e-6)
