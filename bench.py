@@ -74,31 +74,44 @@ def main():
         return bench_train(args, model, arch_spec, cfg, variables, batch,
                            n_chips)
 
-    @jax.jit
-    def infer_checksum(params, batch_stats, batch, carry):
+    def step(params, batch_stats, batch, carry):
+        # Thread the carry into EVERY model input (±1e-30): a genuine data
+        # dependence so XLA cannot hoist any part of the pipeline (preproc,
+        # radar branch, image branch) out of the scan and "run" it once.
+        # Matches streaming inference where each batch is new data.
+        eps = carry * 1e-30
+        batch = dict(batch,
+                     radar_points=batch["radar_points"]
+                     + eps.astype(batch["radar_points"].dtype))
         prepared = prepare_eval_batch(batch, pre_cfg)
+        prepared = dict(prepared,
+                        rgb=prepared["rgb"] + eps.astype(prepared["rgb"].dtype))
         inputs = pack_model_inputs(prepared, arch_spec.input_kind)
         out = model.apply({"params": params, "batch_stats": batch_stats},
                           *inputs, train=False)
         pred = out[1] if arch_spec.multistage else out
         # carry chain orders the stream on device; fetching the final carry
         # forces every iteration to have really executed. (This device sits
-        # behind a relay with ~30 ms per *synchronized* dispatch, and
-        # block_until_ready has been observed to return early — so the bench
-        # pipelines: enqueue all iterations, fetch one scalar at the end.
-        # This matches steady-state streaming inference.)
+        # behind a relay with ~30 ms per *synchronized* dispatch and ~3 ms
+        # per *pipelined* dispatch, so the bench runs the whole iteration
+        # loop ON DEVICE via lax.scan — one dispatch total — and fetches one
+        # scalar. This matches steady-state streaming inference.)
         return carry + jnp.sum(pred.astype(jnp.float32))
 
+    @jax.jit
+    def run_iters(params, batch_stats, batch):
+        def body(carry, _):
+            return step(params, batch_stats, batch, carry), ()
+        carry, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
+                                length=args.iters)
+        return carry
+
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
-    carry = jnp.zeros((), jnp.float32)
-    for _ in range(args.warmup):
-        carry = infer_checksum(params, batch_stats, batch, carry)
-    assert np.isfinite(float(carry))
-    carry = jnp.zeros((), jnp.float32)
+    # warmup = one full compiled run (same executable as the timed run)
+    checksum = float(run_iters(params, batch_stats, batch))
+    assert np.isfinite(checksum)
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        carry = infer_checksum(params, batch_stats, batch, carry)
-    checksum = float(carry)  # forces the whole chain
+    checksum = float(run_iters(params, batch_stats, batch))
     dt = time.perf_counter() - t0
     assert np.isfinite(checksum)
     img_per_sec = args.batch * args.iters / dt

@@ -43,6 +43,15 @@ DEFAULT_UNPOOL_IMPL = os.environ.get("RDT_UNPOOL_IMPL", "dilated")
 UPPROJ_PACKED = os.environ.get("RDT_UPPROJ_PACKED", "0") == "1"
 
 
+def tail_packed_enabled(kind: str) -> bool:
+    """Packed-tail path (default on for upproj): the LAST decoder block stays
+    in phase space and the 3×3 head conv consumes phases directly — the
+    (2H, 2W, 16) tensor whose XLA layout copy profiled at ~5.6 ms/stage at
+    B=128 never exists. Exact reassociation (tests/test_packed_upproj.py).
+    Disable with RDT_TAIL_PACKED=0."""
+    return kind == "upproj" and os.environ.get("RDT_TAIL_PACKED", "1") == "1"
+
+
 class _UnpoolConv(nn.Module):
     """Fused unpool(stride 2) + KxK conv, the building block of UpConv/UpProj.
 
@@ -113,7 +122,7 @@ class DeConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         k = self.kernel_size
-        norm = self.norm or make_norm()
+        norm = self.norm or make_norm(dtype=self.dtype)
         y = TorchConvTranspose(
             self.features, k, stride=2, padding=(k - 1) // 2,
             output_padding=k % 2, use_bias=False, dtype=self.dtype, name="convt",
@@ -131,7 +140,7 @@ class UpConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        norm = self.norm or make_norm()
+        norm = self.norm or make_norm(dtype=self.dtype)
         y = _UnpoolConv(self.features, 5, dtype=self.dtype, name="conv")(x)
         y = norm(name="bn")(y, use_running_average=not train)
         return nn.relu(y)
@@ -149,7 +158,7 @@ class UpProjBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        norm = self.norm or make_norm()
+        norm = self.norm or make_norm(dtype=self.dtype)
         ra = not train
         b1 = _UnpoolConv(self.features, 5, dtype=self.dtype, name="branch1_conv1")(x)
         b1 = norm(name="branch1_bn1")(b1, use_running_average=ra)
@@ -178,8 +187,10 @@ class Decoder(nn.Module):
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         assert x.shape[-1] == self.in_channels
         features = self.in_channels
+        packed_tail = tail_packed_enabled(self.kind)
         for i in range(self.num_layers):
             features //= 2
+            last = i == self.num_layers - 1
             kwargs = dict(norm=self.norm, dtype=self.dtype, name=f"layer{i + 1}")
             if self.kind == "deconv2":
                 x = DeConvBlock(features, 2, **kwargs)(x, train)
@@ -188,14 +199,18 @@ class Decoder(nn.Module):
             elif self.kind == "upconv":
                 x = UpConvBlock(features, **kwargs)(x, train)
             elif self.kind == "upproj":
-                if UPPROJ_PACKED:
+                if UPPROJ_PACKED or (packed_tail and last):
                     from radar_depth_tpu.models.packed import PackedUpProjBlock
 
-                    x = PackedUpProjBlock(features, **kwargs)(x, train)
+                    x = PackedUpProjBlock(
+                        features, emit_packed=packed_tail and last, **kwargs
+                    )(x, train)
                 else:
                     x = UpProjBlock(features, **kwargs)(x, train)
             else:
                 raise ValueError(f"unknown decoder kind {self.kind!r}")
+        # When packed_tail: x is the LAST block's (H, W, 4K) phase tensor;
+        # consumers (HeadConv3) must be called with packed=True.
         return x
 
 

@@ -17,8 +17,12 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from radar_depth_tpu.models.decoders import Decoder
-from radar_depth_tpu.models.layers import make_norm, resize_bilinear_matmul
+from radar_depth_tpu.models.decoders import Decoder, tail_packed_enabled
+from radar_depth_tpu.models.layers import (
+    HeadConv3,
+    make_norm,
+    resize_bilinear_matmul,
+)
 from radar_depth_tpu.models.resnet import ResNetEncoder
 
 
@@ -34,7 +38,7 @@ class DepthNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        norm = self.norm or make_norm()
+        norm = self.norm or make_norm(dtype=self.dtype)
         enc = ResNetEncoder(
             depth=self.depth, in_channels=self.in_channels,
             norm=norm, dtype=self.dtype, name="encoder",
@@ -47,9 +51,7 @@ class DepthNet(nn.Module):
             kind=self.decoder_kind, in_channels=c // 2,
             norm=norm, dtype=self.dtype, name="decoder",
         )(y, train)
-        y = nn.Conv(
-            1, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
-            dtype=self.dtype, precision=jax.lax.Precision.HIGHEST, name="conv3",
-        )(y)
+        y = HeadConv3(dtype=self.dtype, name="conv3")(
+            y, packed=tail_packed_enabled(self.decoder_kind))
         y = resize_bilinear_matmul(y, *self.output_size)
         return y.astype(jnp.float32)

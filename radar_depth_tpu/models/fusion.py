@@ -21,14 +21,26 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from radar_depth_tpu.models.decoders import Decoder
-from radar_depth_tpu.models.layers import make_norm, resize_bilinear_matmul
+from radar_depth_tpu.models.decoders import Decoder, tail_packed_enabled
+from radar_depth_tpu.models.layers import (
+    HeadConv3,
+    make_norm,
+    max_pool_torch,
+    resize_bilinear_matmul,
+)
 from radar_depth_tpu.models.resnet import ResNetEncoder
 
 
 class LateFusionNet(nn.Module):
     """Two-branch late fusion: f = concat(enc_img(rgb), enc_radar(radar)) at
-    H/32; 1×1 conv halves to 256; shared decoder → depth."""
+    H/32; 1×1 conv halves to 256; shared decoder → depth.
+
+    TPU stem fusion: the two branch stems are independent, so their conv
+    outputs are BN/ReLU'd and CONCATENATED before one shared maxpool
+    (128-channel pooling fills the VPU lanes a 64-channel pool wastes), then
+    split back — exactly the same math, same parameter tree. MultiStageNet
+    goes further and pools three stems at once by passing precomputed pooled
+    stems via img_pooled/radar_pooled."""
 
     depth: int = 18
     decoder_kind: str = "upproj"
@@ -38,37 +50,58 @@ class LateFusionNet(nn.Module):
     norm: Callable = None
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, rgb: jax.Array, radar: jax.Array, train: bool = False):
-        norm = self.norm or make_norm()
-        img_enc = ResNetEncoder(
+    def setup(self):
+        norm = self.norm or make_norm(dtype=self.dtype)
+        self.img_encoder = ResNetEncoder(
             depth=self.depth, in_channels=3, norm=norm, dtype=self.dtype,
-            name="img_encoder",
-        )
-        radar_enc = ResNetEncoder(
+            name="img_encoder")
+        self.radar_encoder = ResNetEncoder(
             depth=self.depth, in_channels=1, width=self.radar_width,
-            norm=norm, dtype=self.dtype, name="radar_encoder",
-        )
-        fi = img_enc(rgb, train)
-        fr = radar_enc(radar, train)
+            norm=norm, dtype=self.dtype, name="radar_encoder")
+        c = self.img_encoder.out_channels
+        self.conv2 = nn.Conv(c // 2, (1, 1), use_bias=False, dtype=self.dtype,
+                             precision=jax.lax.Precision.HIGHEST, name="conv2")
+        self.bn2 = norm(name="bn2")
+        self.decoder = Decoder(kind=self.decoder_kind, in_channels=c // 2,
+                               norm=norm, dtype=self.dtype, name="decoder")
+        self.conv3 = HeadConv3(dtype=self.dtype, name="conv3")
+
+    def pooled_stems(self, rgb: jax.Array, radar: jax.Array, train: bool):
+        """Both branch stems, pooled → (pi, pr). (A shared concatenated
+        maxpool was measured: XLA materializes the concat instead of fusing
+        it into the pool input, adding a full HBM round-trip — separate
+        pools are faster on this backend.)"""
+        yi = self.img_encoder.stem_finish(self.img_encoder.stem_conv(rgb),
+                                          train)
+        yr = self.radar_encoder.stem_finish(self.radar_encoder.stem_conv(radar),
+                                            train)
+        return max_pool_torch(yi, 3, 2, 1), max_pool_torch(yr, 3, 2, 1)
+
+    def head(self, fi: jax.Array, fr: jax.Array, train: bool) -> jax.Array:
+        """Fusion + bottleneck + decoder + 3×3 head + bilinear resize."""
         if self.fuse == "concat":
             y = jnp.concatenate([fi, fr], axis=-1)
         elif self.fuse == "add":
             y = fi + fr
         else:
             raise ValueError(self.fuse)
-        c = img_enc.out_channels
-        y = nn.Conv(c // 2, (1, 1), use_bias=False, dtype=self.dtype, precision=jax.lax.Precision.HIGHEST, name="conv2")(y)
-        y = norm(name="bn2")(y, use_running_average=not train)
-        y = Decoder(
-            kind=self.decoder_kind, in_channels=c // 2, norm=norm,
-            dtype=self.dtype, name="decoder",
-        )(y, train)
-        y = nn.Conv(
-            1, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
-            dtype=self.dtype, precision=jax.lax.Precision.HIGHEST, name="conv3",
-        )(y)
+        y = self.conv2(y)
+        y = self.bn2(y, use_running_average=not train)
+        y = self.decoder(y, train)
+        y = self.conv3(y, packed=tail_packed_enabled(self.decoder_kind))
         return resize_bilinear_matmul(y, *self.output_size).astype(jnp.float32)
+
+    def __call__(self, rgb: jax.Array, radar: jax.Array, train: bool = False,
+                 img_pooled=None, radar_pooled=None):
+        if img_pooled is None and radar_pooled is None:
+            img_pooled, radar_pooled = self.pooled_stems(rgb, radar, train)
+        elif radar_pooled is None:
+            yr = self.radar_encoder.stem_finish(
+                self.radar_encoder.stem_conv(radar), train)
+            radar_pooled = max_pool_torch(yr, 3, 2, 1)
+        fi = self.img_encoder.body(img_pooled, train)
+        fr = self.radar_encoder.body(radar_pooled, train)
+        return self.head(fi, fr, train)
 
 
 def filter_radar_by_prediction(
@@ -131,7 +164,33 @@ class MultiStageNet(nn.Module):
             nn.remat(LateFusionNet, static_argnums=(3,)) if self.remat
             else LateFusionNet
         )
-        coarse = stage_cls(**kwargs, name="stage1")(rgb, radar, train)
+        stage1 = stage_cls(**kwargs, name="stage1")
+        stage2 = stage_cls(**kwargs, name="stage2")
+        if self.remat:
+            coarse = stage1(rgb, radar, train)
+        else:
+            # Cross-stage stem fusion (exact reassociation, same params):
+            # stage2's IMAGE branch depends only on rgb, so its stem runs
+            # with stage1's — both stages' img conv1 kernels concatenate
+            # into ONE N=128 conv over the shared rgb input (full MXU
+            # lanes). Pools stay separate (a shared 192-channel pool was
+            # measured slower: XLA materializes the concat).
+            k1 = stage1.img_encoder.conv1.kernel
+            k2 = stage2.img_encoder.conv1.kernel
+            kcat = jnp.concatenate([k1, k2], axis=-1)
+            yi = jax.lax.conv_general_dilated(
+                rgb.astype(self.dtype), kcat.astype(self.dtype),
+                window_strides=(2, 2), padding=((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=jax.lax.Precision.HIGHEST)
+            w1 = k1.shape[-1]
+            p1i = max_pool_torch(
+                stage1.img_encoder.stem_finish(yi[..., :w1], train), 3, 2, 1)
+            p2i = max_pool_torch(
+                stage2.img_encoder.stem_finish(yi[..., w1:], train), 3, 2, 1)
+            p1r = max_pool_torch(stage1.radar_encoder.stem_finish(
+                stage1.radar_encoder.stem_conv(radar), train), 3, 2, 1)
+            coarse = stage1(rgb, radar, train, p1i, p1r)
         filtered = filter_radar_by_prediction(
             radar,
             jax.lax.stop_gradient(coarse),
@@ -139,7 +198,10 @@ class MultiStageNet(nn.Module):
             rel_threshold=self.rel_threshold,
             mode=self.filter_mode,
         )
-        refined = stage_cls(**kwargs, name="stage2")(rgb, filtered, train)
+        if self.remat:
+            refined = stage2(rgb, filtered, train)
+        else:
+            refined = stage2(rgb, filtered, train, p2i, None)
         if self.uncertainty:
             log_var = self.param("stage_log_var",
                                  nn.initializers.zeros_init(), (2,),

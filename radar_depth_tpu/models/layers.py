@@ -228,12 +228,48 @@ def resize_bilinear(x: jax.Array, height: int, width: int) -> jax.Array:
     return jax.image.resize(x, (n, height, width, c), method="bilinear")
 
 
-def make_norm(momentum: float = 0.9, epsilon: float = 1e-5):
+class HeadConv3(nn.Module):
+    """Final 3×3 conv → 1 channel (upstream:models.py head conv). Same param
+    tree as the nn.Conv it replaces (<name>/kernel, (3, 3, C, 1)).
+
+    With packed=True the input is the decoder's (H, W, 4C) phase tensor; the
+    conv runs with phase-expanded kernels (packed_conv3_kernels) producing
+    the 4 output phases at quarter area, and one tiny depth_to_space yields
+    the (2H, 2W, 1) map. A direct 16→1 conv at (2H, 2W) ran at 0.65 TF/s
+    (127/128 output lanes wasted); this path also avoids materializing the
+    (2H, 2W, 16) tensor at all."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, packed: bool = False) -> jax.Array:
+        c = x.shape[-1] // 4 if packed else x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, c, 1), jnp.float32)
+        if packed:
+            from radar_depth_tpu.models.packed import packed_conv3_kernels
+
+            y = conv2d(x.astype(self.dtype),
+                       packed_conv3_kernels(kernel).astype(self.dtype),
+                       padding=1)
+            return depth_to_space2(y)
+        return conv2d(x.astype(self.dtype), kernel.astype(self.dtype),
+                      padding=1)
+
+
+def make_norm(momentum: float = 0.9, epsilon: float = 1e-5, dtype: Any = None):
     """BatchNorm factory matching torch BatchNorm2d(momentum=0.1, eps=1e-5):
     flax's `momentum` is the running-average retain factor = 1 - torch momentum
-    (SURVEY.md §7 hard part #3)."""
+    (SURVEY.md §7 hard part #3).
+
+    `dtype` is the OUTPUT/compute dtype. Without it flax promotes to the f32
+    param dtype, so on bf16 models every BN→ReLU boundary wrote float32
+    (2× HBM bytes) and converted back to bf16 for the next conv — profiled
+    as ~25% of the whole forward pass (`maximum_convert_fusion` ops). Stats
+    math stays float32 inside flax either way; f32 models are unchanged."""
     import functools
 
     return functools.partial(
-        nn.BatchNorm, momentum=momentum, epsilon=epsilon, param_dtype=jnp.float32
+        nn.BatchNorm, momentum=momentum, epsilon=epsilon,
+        param_dtype=jnp.float32, dtype=dtype,
     )

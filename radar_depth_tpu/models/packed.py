@@ -159,11 +159,18 @@ class PackedBatchNorm(nn.Module):
 
 class PackedUpProjBlock(nn.Module):
     """decoders.UpProjBlock, evaluated end-to-end in phase space with one
-    depth_to_space at the output. Same parameter tree (names/shapes)."""
+    depth_to_space at the output. Same parameter tree (names/shapes).
+
+    With emit_packed=True the final depth_to_space is skipped and the block
+    returns the (H, W, 4K) phase tensor — the packed-tail path lets the 3×3
+    head conv consume phases directly, so the awkward (2H, 2W, K<128) tensor
+    (whose layout copy alone profiled at ~5.6 ms/stage at B=128) is never
+    materialized."""
 
     features: int
     norm: Callable = None  # accepted for API parity; BN here must pool phases
     dtype: Any = jnp.float32
+    emit_packed: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -176,4 +183,5 @@ class PackedUpProjBlock(nn.Module):
         b1 = PackedBatchNorm(name="branch1_bn2")(b1, use_running_average=ra)
         b2 = _PhaseUnpoolConv(k, dtype=self.dtype, name="branch2_conv")(x)
         b2 = PackedBatchNorm(name="branch2_bn")(b2, use_running_average=ra)
-        return depth_to_space2(nn.relu(b1 + b2))
+        y = nn.relu(b1 + b2)
+        return y if self.emit_packed else depth_to_space2(y)

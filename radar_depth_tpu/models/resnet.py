@@ -34,7 +34,7 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        norm = self.norm or make_norm()
+        norm = self.norm or make_norm(dtype=self.dtype)
         y = nn.Conv(
             self.features, (3, 3), (self.stride, self.stride),
             padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype, precision=jax.lax.Precision.HIGHEST, name="conv1",
@@ -55,9 +55,38 @@ class BasicBlock(nn.Module):
         return nn.relu(y + x)
 
 
+class StemConv(nn.Module):
+    """7×7 stride-2 stem conv with the kernel as an eagerly-declared param so
+    sibling encoders can read it for cross-encoder output-concat fusion
+    (MultiStageNet/LateFusionNet stem sharing). Param tree identical to the
+    nn.Conv it replaces: <name>/kernel, (7, 7, C, width), lecun-normal."""
+
+    features: int
+    in_channels: int
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (7, 7, self.in_channels, self.features), jnp.float32)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), self.kernel.astype(self.dtype),
+            window_strides=(2, 2), padding=((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST)
+
+
 class ResNetEncoder(nn.Module):
     """conv1 → bn → relu → maxpool → layer1..layer4. Returns the (H/32)
-    bottleneck feature map (512 channels for ResNet-18/34)."""
+    bottleneck feature map (512 channels for ResNet-18/34).
+
+    The stem is split into addressable pieces (stem_conv / stem_finish /
+    body) so fusion wrappers can batch independent stems through one conv
+    and one maxpool (lane-utilization win on TPU: a 64-channel stem wastes
+    half the VPU/MXU lanes; three concatenated stems fill 192). All pieces
+    compose to exactly the original math."""
 
     depth: int = 18  # 18 or 34
     in_channels: int = 3
@@ -65,29 +94,39 @@ class ResNetEncoder(nn.Module):
     norm: Callable = None
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        assert x.shape[-1] == self.in_channels, (x.shape, self.in_channels)
-        norm = self.norm or make_norm()
-        y = nn.Conv(
-            self.width, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
-            use_bias=False, dtype=self.dtype, precision=jax.lax.Precision.HIGHEST, name="conv1",
-        )(x)
-        y = norm(name="bn1")(y, use_running_average=not train)
-        y = nn.relu(y)
-        y = max_pool_torch(y, 3, 2, 1)
+    def setup(self):
+        norm = self.norm or make_norm(dtype=self.dtype)
+        self.conv1 = StemConv(self.width, self.in_channels, dtype=self.dtype,
+                              name="conv1")
+        self.bn1 = norm(name="bn1")
+        blocks = []
         for stage, num_blocks in enumerate(STAGE_SIZES[self.depth]):
             features = self.width * (2**stage)
             for block in range(num_blocks):
                 stride = 2 if (stage > 0 and block == 0) else 1
-                y = BasicBlock(
-                    features,
-                    stride=stride,
-                    norm=norm,
-                    dtype=self.dtype,
-                    name=f"layer{stage + 1}_{block}",
-                )(y, train)
+                blocks.append(BasicBlock(
+                    features, stride=stride, norm=norm, dtype=self.dtype,
+                    name=f"layer{stage + 1}_{block}"))
+        self.blocks = blocks
+
+    def stem_conv(self, x: jax.Array) -> jax.Array:
+        assert x.shape[-1] == self.in_channels, (x.shape, self.in_channels)
+        return self.conv1(x)
+
+    def stem_finish(self, y: jax.Array, train: bool) -> jax.Array:
+        """BN + ReLU on the stem conv output (pre-pool)."""
+        return nn.relu(self.bn1(y, use_running_average=not train))
+
+    def body(self, p: jax.Array, train: bool) -> jax.Array:
+        """layer1..layer4 on the pooled stem output."""
+        y = p
+        for blk in self.blocks:
+            y = blk(y, train)
         return y
+
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        y = self.stem_finish(self.stem_conv(x), train)
+        return self.body(max_pool_torch(y, 3, 2, 1), train)
 
     @property
     def out_channels(self) -> int:

@@ -86,6 +86,7 @@ def test_registry_complete():
         "resnet18", "resnet34",
         "resnet18_latefusion", "resnet34_latefusion",
         "resnet18_multistage", "resnet34_multistage",
+        "resnet18_multistage_uncertainty", "resnet34_multistage_uncertainty",
     }
 
 
