@@ -25,7 +25,9 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC -o librdtp.so rdtp_loader.cc -lpthread
 
+#include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
@@ -58,12 +60,243 @@ struct Batch {
   uint64_t index_in_epoch = 0;
 };
 
+// Train-time augmentation in the prefetch workers — the TPU-native analogue
+// of the reference's DataLoader-worker transforms (upstream:dataloaders/
+// transforms.py run in forked CPU processes). Geometry is folded into the
+// sample's calibration so the device-side pipeline needs NO in-graph image
+// warps (which cost ~0.9 s/step at B=32 as XLA gathers):
+//   * rgb: bilinear affine warp (scale/rotate/flip) + color jitter, uint8.
+//   * lidar_depth: nearest-neighbor warp, values / s (reference depth rule).
+//   * lidar_points: X -> X/s (keeps the rerasterize path consistent).
+//   * radar_transform rows 0..2: / s  (cam points scale => raster depth / s).
+//   * intrinsics: K' = A3 @ K (pixel-space affine composed into projection).
+// Conventions mirror radar_depth_tpu/ops/augment.py exactly (raster coords,
+// half-pixel conjugation for bilinear, floor for nearest, OOB = 0), verified
+// by tests/test_native_augment.py against the jax implementation.
+struct AugSpec {
+  // field offsets (bytes within a record) and dims
+  uint64_t image_off;        // uint8 (H, W, 3)
+  uint64_t lidar_depth_off;  // f32 (H, W)
+  uint64_t lidar_points_off; // f32 (Pl, 3)
+  uint64_t radar_tf_off;     // f32 (S, 4, 4)
+  uint64_t intrinsics_off;   // f32 (3, 3)
+  uint64_t height, width, lidar_points, num_sweeps;
+  // parameter ranges (augment.AugmentConfig)
+  float scale_min, scale_max;   // 1.0, 1.5
+  float rot_deg;                // +/- range
+  float hflip_prob;             // 0.5
+  float jitter;                 // +/- multiplicative range
+  uint64_t seed;
+};
+
+uint64_t splitmix64(uint64_t x) {
+  x += 0x9e3779b97f4a7c15ULL;
+  x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ULL;
+  x = (x ^ (x >> 27)) * 0x94d049bb133111ebULL;
+  return x ^ (x >> 31);
+}
+
+void augment_record(uint8_t* rec, const AugSpec& a, uint64_t sample_key) {
+  std::mt19937_64 rng(sample_key);
+  std::uniform_real_distribution<float> uni(0.f, 1.f);
+  const float s = a.scale_min + uni(rng) * (a.scale_max - a.scale_min);
+  const float ang = (2.f * uni(rng) - 1.f) * a.rot_deg * 3.14159265358979f / 180.f;
+  const bool flip = uni(rng) < a.hflip_prob;
+  float jb = 1.f + (2.f * uni(rng) - 1.f) * a.jitter;
+  float jc = 1.f + (2.f * uni(rng) - 1.f) * a.jitter;
+  float js = 1.f + (2.f * uni(rng) - 1.f) * a.jitter;
+
+  const int H = static_cast<int>(a.height), W = static_cast<int>(a.width);
+  const float cx = W / 2.0f, cy = H / 2.0f;
+  const float c = std::cos(ang) * s, sn = std::sin(ang) * s;
+  // forward affine in raster coords (ops/augment.py::make_affine)
+  float A[6];
+  {
+    const float a02 = cx - c * cx + sn * cy;
+    const float a12 = cy - sn * cx - c * cy;
+    const float sign = flip ? -1.f : 1.f;
+    const float off = flip ? static_cast<float>(W) : 0.f;
+    A[0] = sign * c; A[1] = sign * (-sn); A[2] = sign * a02 + off;
+    A[3] = sn;       A[4] = c;            A[5] = a12;
+  }
+  // inverse affine (ops/augment.py::invert_affine)
+  float I[6];
+  {
+    const float det = A[0] * A[4] - A[1] * A[3];
+    I[0] = A[4] / det;  I[1] = -A[1] / det;
+    I[3] = -A[3] / det; I[4] = A[0] / det;
+    I[2] = -(I[0] * A[2] + I[1] * A[5]);
+    I[5] = -(I[3] * A[2] + I[4] * A[5]);
+  }
+
+  // ---- rgb: inverse bilinear warp (half-pixel conjugated) + jitter.
+  // Hot path: per output row, source coords are affine in j (incremental
+  // adds); the j-range whose full 2x2 tap window is interior is computed
+  // analytically so the inner loop is branch-free; border pixels take the
+  // checked path. Scratch is thread-local (no per-sample allocation).
+  uint8_t* img = rec + a.image_off;
+  {
+    thread_local std::vector<float> warped;
+    warped.resize(static_cast<size_t>(H) * W * 3);
+    double sum_all = 0.0;
+    const float dsu = I[0], dsv = I[3];
+    for (int i = 0; i < H; ++i) {
+      const float vs = i + 0.5f;
+      // coords at j=0 (us = 0.5)
+      float su = I[0] * 0.5f + I[1] * vs + I[2] - 0.5f;
+      float sv = I[3] * 0.5f + I[4] * vs + I[5] - 0.5f;
+      // interior span: su in [0, W-2] and sv in [0, H-2] for all taps
+      auto span = [&](float start, float step, float lo, float hi,
+                      float& jlo, float& jhi) {
+        if (step > 1e-12f) {
+          jlo = std::max(jlo, (lo - start) / step);
+          jhi = std::min(jhi, (hi - start) / step);
+        } else if (step < -1e-12f) {
+          jlo = std::max(jlo, (hi - start) / step);
+          jhi = std::min(jhi, (lo - start) / step);
+        } else if (start < lo || start > hi) {
+          jhi = jlo - 1;
+        }
+      };
+      float jlo = 0.f, jhi = static_cast<float>(W - 1);
+      span(su, dsu, 0.f, static_cast<float>(W) - 2.001f, jlo, jhi);
+      span(sv, dsv, 0.f, static_cast<float>(H) - 2.001f, jlo, jhi);
+      int j_in0 = static_cast<int>(std::ceil(std::max(jlo, 0.f)));
+      int j_in1 = static_cast<int>(std::floor(std::min(jhi, float(W - 1))));
+      if (j_in1 < j_in0) { j_in0 = W; j_in1 = W - 1; }  // empty interior
+
+      float* out_row = &warped[static_cast<size_t>(i) * W * 3];
+      auto checked_px = [&](int jj, float suj, float svj) {
+        const int u0 = static_cast<int>(std::floor(suj));
+        const int v0 = static_cast<int>(std::floor(svj));
+        const float fu = suj - u0, fv = svj - v0;
+        float* out = out_row + jj * 3;
+        for (int ch = 0; ch < 3; ++ch) {
+          auto px = [&](int vv, int uu) -> float {
+            if (uu < 0 || uu >= W || vv < 0 || vv >= H) return 0.f;
+            return img[(static_cast<size_t>(vv) * W + uu) * 3 + ch];
+          };
+          out[ch] = (px(v0, u0) * (1 - fu) * (1 - fv)
+                     + px(v0, u0 + 1) * fu * (1 - fv)
+                     + px(v0 + 1, u0) * (1 - fu) * fv
+                     + px(v0 + 1, u0 + 1) * fu * fv) * (jb / 255.f);
+        }
+      };
+      // exact per-pixel coords (incremental accumulation drifts across
+      // floor-bin boundaries and diverges from the jax oracle)
+      auto coord = [&](int jj, float& suj, float& svj) {
+        const float us = jj + 0.5f;
+        suj = I[0] * us + I[1] * vs + I[2] - 0.5f;
+        svj = I[3] * us + I[4] * vs + I[5] - 0.5f;
+      };
+      float suj, svj;
+      for (int j = 0; j < std::min(j_in0, W); ++j) {
+        coord(j, suj, svj);
+        checked_px(j, suj, svj);
+      }
+      // branch-free interior
+      const float jbn = jb / 255.f;
+      for (int j = j_in0; j <= j_in1; ++j) {
+        coord(j, suj, svj);
+        const int u0 = static_cast<int>(suj);
+        const int v0 = static_cast<int>(svj);
+        const float fu = suj - u0, fv = svj - v0;
+        const float w00 = (1 - fu) * (1 - fv), w01 = fu * (1 - fv);
+        const float w10 = (1 - fu) * fv, w11 = fu * fv;
+        const uint8_t* r0 = img + (static_cast<size_t>(v0) * W + u0) * 3;
+        const uint8_t* r1 = r0 + static_cast<size_t>(W) * 3;
+        float* out = out_row + j * 3;
+        out[0] = (r0[0] * w00 + r0[3] * w01 + r1[0] * w10 + r1[3] * w11) * jbn;
+        out[1] = (r0[1] * w00 + r0[4] * w01 + r1[1] * w10 + r1[4] * w11) * jbn;
+        out[2] = (r0[2] * w00 + r0[5] * w01 + r1[2] * w10 + r1[5] * w11) * jbn;
+      }
+      for (int j = j_in1 + 1; j < W; ++j) {
+        coord(j, suj, svj);
+        checked_px(j, suj, svj);
+      }
+      float row_sum = 0.f;
+      for (int k = 0; k < W * 3; ++k) row_sum += out_row[k];
+      sum_all += row_sum;
+    }
+    // contrast about the (brightened) mean, saturation about per-pixel gray
+    const double n = static_cast<double>(H) * W * 3;
+    const float mean = static_cast<float>(sum_all / n);
+    const float k255 = 255.f;
+    for (size_t p = 0; p < static_cast<size_t>(H) * W; ++p) {
+      float* v = &warped[p * 3];
+      float r = mean + (v[0] - mean) * jc;
+      float g = mean + (v[1] - mean) * jc;
+      float b = mean + (v[2] - mean) * jc;
+      const float gray = (r + g + b) / 3.f;
+      r = gray + (r - gray) * js;
+      g = gray + (g - gray) * js;
+      b = gray + (b - gray) * js;
+      img[p * 3 + 0] = static_cast<uint8_t>(std::lround(std::clamp(r, 0.f, 1.f) * k255));
+      img[p * 3 + 1] = static_cast<uint8_t>(std::lround(std::clamp(g, 0.f, 1.f) * k255));
+      img[p * 3 + 2] = static_cast<uint8_t>(std::lround(std::clamp(b, 0.f, 1.f) * k255));
+    }
+  }
+
+  // ---- lidar_depth: nearest warp (no half-pixel), values / s
+  {
+    float* d = reinterpret_cast<float*>(rec + a.lidar_depth_off);
+    thread_local std::vector<float> out;
+    out.assign(static_cast<size_t>(H) * W, 0.f);
+    const float inv_s = 1.f / s;
+    for (int i = 0; i < H; ++i) {
+      const float vs = i + 0.5f;
+      float* orow = &out[static_cast<size_t>(i) * W];
+      for (int j = 0; j < W; ++j) {
+        const float us = j + 0.5f;
+        const float su = I[0] * us + I[1] * vs + I[2];
+        const float sv = I[3] * us + I[4] * vs + I[5];
+        const int u = static_cast<int>(std::floor(su));
+        const int v = static_cast<int>(std::floor(sv));
+        if (static_cast<unsigned>(u) < static_cast<unsigned>(W)
+            && static_cast<unsigned>(v) < static_cast<unsigned>(H))
+          orow[j] = d[static_cast<size_t>(v) * W + u] * inv_s;
+      }
+    }
+    std::memcpy(d, out.data(), out.size() * sizeof(float));
+  }
+
+  // ---- lidar_points: X / s (consistency with the divided GT map)
+  {
+    float* p = reinterpret_cast<float*>(rec + a.lidar_points_off);
+    const size_t n = a.lidar_points * 3;
+    for (size_t k = 0; k < n; ++k) p[k] /= s;
+  }
+
+  // ---- radar_transform: rows 0..2 / s (cam-frame points scale by 1/s)
+  {
+    float* t = reinterpret_cast<float*>(rec + a.radar_tf_off);
+    for (uint64_t sw = 0; sw < a.num_sweeps; ++sw) {
+      float* m = t + sw * 16;
+      for (int k = 0; k < 12; ++k) m[k] /= s;
+    }
+  }
+
+  // ---- intrinsics: K' = A3 @ K (homogeneous pixel affine)
+  {
+    float* K = reinterpret_cast<float*>(rec + a.intrinsics_off);
+    float out[9];
+    for (int col = 0; col < 3; ++col) {
+      out[0 * 3 + col] = A[0] * K[col] + A[1] * K[3 + col] + A[2] * K[6 + col];
+      out[1 * 3 + col] = A[3] * K[col] + A[4] * K[3 + col] + A[5] * K[6 + col];
+      out[2 * 3 + col] = K[6 + col];
+    }
+    std::memcpy(K, out, sizeof(out));
+  }
+}
+
 struct Loader {
   Shard* shard = nullptr;
   uint64_t batch_size = 0;
   bool shuffle = false;
   bool drop_last = true;
   uint64_t seed = 0;
+  bool augment = false;
+  AugSpec aug{};
 
   std::vector<std::thread> workers;
   std::mutex mu;
@@ -128,9 +361,15 @@ void worker_main(Loader* L) {
       buf = L->pool.back();
       L->pool.pop_back();
     }
-    // copy outside the lock — this is the actual "work"
+    // copy (+ augment) outside the lock — this is the actual "work"
     for (uint64_t i = 0; i < idx.size(); ++i) {
-      std::memcpy(buf->data.data() + i * rec, data + idx[i] * rec, rec);
+      uint8_t* dst = buf->data.data() + i * rec;
+      std::memcpy(dst, data + idx[i] * rec, rec);
+      if (L->augment) {
+        const uint64_t key = splitmix64(
+            L->aug.seed ^ splitmix64(epoch * 0x9e3779b97f4a7c15ULL + idx[i]));
+        augment_record(dst, L->aug, key);
+      }
     }
     buf->epoch = epoch;
     buf->index_in_epoch = index_in_epoch;
@@ -236,9 +475,30 @@ void* rdtp_loader_create(void* shard, uint64_t batch_size, int shuffle,
     b->data.resize(batch_size * L->shard->record_size);
     L->pool.push_back(b);
   }
+  // num_threads == 0 creates the loader PAUSED (no workers) so augmentation
+  // can be configured race-free; call rdtp_loader_start to begin prefetch.
+  for (uint64_t i = 0; i < num_threads; ++i)
+    L->workers.emplace_back(worker_main, L);
+  return L;
+}
+
+// Enable worker-side train augmentation. Call right after rdtp_loader_create,
+// before consuming batches (not thread-safe against in-flight prefetch — the
+// Python wrapper creates the loader with queue_depth buffers and calls this
+// before the first rdtp_loader_next... workers may already be filling, so the
+// wrapper must create the loader paused: pass num_threads=0 to
+// rdtp_loader_create, then call rdtp_loader_start after configuring).
+void rdtp_loader_set_augment(void* h, const AugSpec* spec) {
+  auto* L = static_cast<Loader*>(h);
+  L->aug = *spec;
+  L->augment = true;
+}
+
+// Start worker threads (used with rdtp_loader_create(num_threads=0)).
+void rdtp_loader_start(void* h, uint64_t num_threads) {
+  auto* L = static_cast<Loader*>(h);
   uint64_t nt = num_threads ? num_threads : 1;
   for (uint64_t i = 0; i < nt; ++i) L->workers.emplace_back(worker_main, L);
-  return L;
 }
 
 // Returns a pointer to the next ready batch (batch_size*record_size bytes).

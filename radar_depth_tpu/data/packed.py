@@ -148,8 +148,55 @@ def _load_native() -> Optional[ctypes.CDLL]:
                                      ctypes.POINTER(ctypes.c_uint64),
                                      ctypes.POINTER(ctypes.c_uint64)]
     lib.rdtp_loader_destroy.argtypes = [ctypes.c_void_p]
+    lib.rdtp_loader_set_augment.argtypes = [ctypes.c_void_p,
+                                            ctypes.POINTER(NativeAugSpec)]
+    lib.rdtp_loader_start.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
     _lib = lib
     return lib
+
+
+class NativeAugSpec(ctypes.Structure):
+    """Mirror of rdtp_loader.cc::AugSpec (worker-side train augmentation)."""
+
+    _fields_ = [
+        ("image_off", ctypes.c_uint64),
+        ("lidar_depth_off", ctypes.c_uint64),
+        ("lidar_points_off", ctypes.c_uint64),
+        ("radar_tf_off", ctypes.c_uint64),
+        ("intrinsics_off", ctypes.c_uint64),
+        ("height", ctypes.c_uint64),
+        ("width", ctypes.c_uint64),
+        ("lidar_points", ctypes.c_uint64),
+        ("num_sweeps", ctypes.c_uint64),
+        ("scale_min", ctypes.c_float),
+        ("scale_max", ctypes.c_float),
+        ("rot_deg", ctypes.c_float),
+        ("hflip_prob", ctypes.c_float),
+        ("jitter", ctypes.c_float),
+        ("seed", ctypes.c_uint64),
+    ]
+
+
+def build_aug_spec(layout: Dict[str, tuple], augment_cfg, seed: int
+                   ) -> NativeAugSpec:
+    """Field offsets from a parsed shard layout + AugmentConfig → AugSpec."""
+    h, w, _ = layout["image"][3]
+    return NativeAugSpec(
+        image_off=layout["image"][0],
+        lidar_depth_off=layout["lidar_depth"][0],
+        lidar_points_off=layout["lidar_points"][0],
+        radar_tf_off=layout["radar_transform"][0],
+        intrinsics_off=layout["intrinsics"][0],
+        height=h, width=w,
+        lidar_points=layout["lidar_points"][3][0],
+        num_sweeps=layout["radar_transform"][3][0],
+        scale_min=augment_cfg.scale_range[0],
+        scale_max=augment_cfg.scale_range[1],
+        rot_deg=augment_cfg.rotation_deg,
+        hflip_prob=augment_cfg.hflip_prob,
+        jitter=augment_cfg.jitter,
+        seed=seed,
+    )
 
 
 def native_available() -> bool:
@@ -240,7 +287,13 @@ class NativeBatchLoader:
 
     def __init__(self, dataset: PackedDataset, batch_size: int,
                  shuffle: bool = True, seed: int = 0, queue_depth: int = 4,
-                 threads: int = 2):
+                 threads: int = 2, augment=None):
+        """augment: optional ops.augment.AugmentConfig — when given, workers
+        apply the reference's train transforms per sample on the host
+        (scale/rotate/flip/jitter; geometry folded into intrinsics/transforms
+        — see rdtp_loader.cc::augment_record), overlapped with device compute
+        like the reference's DataLoader workers. Batches then go through the
+        EVAL preprocessing path on device (no in-graph warps)."""
         if dataset._lib is None:
             raise RuntimeError("NativeBatchLoader requires librdtp")
         if not 0 < batch_size <= len(dataset):
@@ -250,10 +303,16 @@ class NativeBatchLoader:
         self.ds = dataset
         self.batch_size = batch_size
         self._lib = dataset._lib
+        # create paused (0 threads), configure augmentation, then start —
+        # avoids racing in-flight prefetch against set_augment.
         self._L = self._lib.rdtp_loader_create(
-            dataset._h, batch_size, int(shuffle), seed, queue_depth, threads)
+            dataset._h, batch_size, int(shuffle), seed, queue_depth, 0)
         if not self._L:
             raise RuntimeError("rdtp_loader_create failed")
+        if augment is not None and augment.enabled:
+            spec = build_aug_spec(dataset.layout, augment, seed)
+            self._lib.rdtp_loader_set_augment(self._L, ctypes.byref(spec))
+        self._lib.rdtp_loader_start(self._L, max(1, threads))
         self.epoch = 0
         self.index_in_epoch = 0
 

@@ -93,6 +93,13 @@ class Trainer:
         self.train_ds, self.val_ds = make_datasets(cfg)
         steps_per_epoch = max(1, len(self.train_ds) // cfg.batch_size)
         self.tx = make_optimizer(cfg.optim, steps_per_epoch)
+        # Host-side augmentation in the native loader's worker threads
+        # (reference DataLoader-worker semantics) when available; the device
+        # step then skips in-graph warps (train/step.py host_augmented).
+        self._host_augment = (
+            cfg.augment.enabled
+            and cfg.data.sparsifier == "none"
+            and self._native_train_loader_available())
 
         key = jax.random.PRNGKey(cfg.seed)
         self.init_key, self.data_key = jax.random.split(key)
@@ -103,7 +110,8 @@ class Trainer:
 
         bshard = batch_sharding(self.mesh)
         self._train_step = jax.jit(
-            make_train_step(self.model, self.arch_spec, cfg, self.tx),
+            make_train_step(self.model, self.arch_spec, cfg, self.tx,
+                            host_augmented=self._host_augment),
             in_shardings=(repl, bshard, repl),
             out_shardings=(repl, repl),
             donate_argnums=(0,),
@@ -224,20 +232,27 @@ class Trainer:
 
     # ------------------------------------------------------------- epochs
 
+    def _native_train_loader_available(self) -> bool:
+        from radar_depth_tpu.data import packed as packed_mod
+
+        return (isinstance(self.train_ds, packed_mod.PackedDataset)
+                and self.train_ds._lib is not None)
+
     def _train_batches(self, epoch: int):
         """Per-epoch batch stream. For packed datasets with the native lib,
         batches come from the C++ prefetch thread pool (NativeBatchLoader —
-        the DataLoader(num_workers) equivalent); otherwise random-access
-        gather via iterate_batches."""
+        the DataLoader(num_workers) equivalent), with train augmentation
+        applied in the workers; otherwise random-access gather via
+        iterate_batches (augmentation stays in the jitted step)."""
         from radar_depth_tpu.data import packed as packed_mod
 
         cfg = self.cfg
-        if (isinstance(self.train_ds, packed_mod.PackedDataset)
-                and self.train_ds._lib is not None):
+        if self._native_train_loader_available():
             if getattr(self, "_native_loader", None) is None:
                 self._native_loader = packed_mod.NativeBatchLoader(
                     self.train_ds, cfg.batch_size, shuffle=True,
-                    seed=cfg.seed, queue_depth=4, threads=2)
+                    seed=cfg.seed, queue_depth=4, threads=4,
+                    augment=cfg.augment if self._host_augment else None)
             steps = len(self.train_ds) // cfg.batch_size
             for _ in range(steps):
                 yield next(self._native_loader)

@@ -69,13 +69,25 @@ def _loss_and_pred(out, target, cfg: TrainConfig, spec: ArchSpec):
 
 
 def make_train_step(model, spec: ArchSpec, cfg: TrainConfig,
-                    tx: optax.GradientTransformation) -> Callable:
+                    tx: optax.GradientTransformation,
+                    host_augmented: bool = False) -> Callable:
+    """host_augmented=True: batches were already augmented by the native
+    loader's worker threads (warps + geometry folded into
+    intrinsics/transforms — data/packed.py NativeBatchLoader(augment=...)),
+    so the device step runs the eval-style preprocessing only. This removes
+    ~0.9 s/step of XLA gather warps at B=32 and overlaps augmentation with
+    device compute, exactly like the reference's DataLoader workers
+    (upstream:main.py::create_data_loaders; SURVEY.md §3.1 process
+    boundary)."""
     pre_cfg = make_preprocess_config(cfg)
 
     def train_step(state: TrainState, batch: Dict, key: jax.Array
                    ) -> Tuple[TrainState, Dict]:
         key = jax.random.fold_in(key, state.step)
-        prepared = prepare_train_batch(batch, pre_cfg, key)
+        if host_augmented:
+            prepared = prepare_eval_batch(batch, pre_cfg, key)
+        else:
+            prepared = prepare_train_batch(batch, pre_cfg, key)
         target = prepared["target"]
 
         def loss_fn(params):

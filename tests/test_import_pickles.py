@@ -126,14 +126,14 @@ def test_imported_pickles_train_end_to_end(tmp_path):
     from radar_depth_tpu.train.loop import Trainer
 
     h, w = 64, 96
-    src = _write_pickles(tmp_path, 12, h, w)
+    src = _write_pickles(tmp_path, 16, h, w)
     _run_import(src, tmp_path / "out", h, w)
     cfg = TrainConfig(
         data=DataConfig(dataset="packed", data_root=str(tmp_path / "out"),
                         height=h, width=w, num_sweeps=2),
         model=ModelConfig(arch="resnet18_latefusion", decoder="deconv2"),
         optim=OptimConfig(), augment=AugmentConfig(),
-        batch_size=4, epochs=1, output_dir=str(tmp_path / "run"),
+        batch_size=8, epochs=1, output_dir=str(tmp_path / "run"),
         print_freq=100, val_viz_every=1,
     )
     tr = Trainer(cfg)
