@@ -84,6 +84,14 @@ class TrainConfig:
     evaluate: str = ""
     print_freq: int = 10
     val_viz_every: int = 50  # comparison PNG every N val batches (C11)
+    # Metric averaging convention (SURVEY.md §2 C9 / VERDICT r1 weak #7):
+    # "sample" = per-sample pixel means averaged over samples (exact under
+    # padded eval tails); "batch" = the reference's AverageMeter weighting
+    # (pixel-pooled per batch, weighted by batch size).
+    metric_avg: str = "sample"
+    # --evaluate also reports per-split (day/night) metrics when the val
+    # dataset carries sample tags (paper reports splits separately; §6).
+    eval_splits: bool = False
     tensorboard: bool = False
     mesh_axis: str = "data"
 
@@ -141,6 +149,13 @@ def parse_command(argv=None) -> TrainConfig:
     # schedule
     p.add_argument("--lr-decay-epochs", type=int, default=5)
     p.add_argument("--lr-decay-factor", type=float, default=0.1)
+    # metrics
+    p.add_argument("--metric-avg", default="sample",
+                   choices=["sample", "batch"],
+                   help="'batch' = reference AverageMeter weighting "
+                        "(pixel-pooled per batch × batch size)")
+    p.add_argument("--eval-splits", action="store_true",
+                   help="report per-split (day/night) metrics at --evaluate")
     a = p.parse_args(argv)
     if a.multistage_uncertainty:
         if not a.arch.endswith("_multistage"):
@@ -169,4 +184,5 @@ def parse_command(argv=None) -> TrainConfig:
         batch_size=a.batch_size, epochs=a.epochs, seed=a.seed,
         output_dir=a.output_dir, resume=a.resume, evaluate=a.evaluate,
         print_freq=a.print_freq, tensorboard=a.tensorboard,
+        metric_avg=a.metric_avg, eval_splits=a.eval_splits,
     )

@@ -84,11 +84,24 @@ def parse_header(buf: bytes):
     return header_size, num_samples, record_size, layout
 
 
-def write_shard(path: str, samples, spec: Optional[schema.SampleSpec] = None
-                ) -> None:
-    """Write an iterable of schema Samples to one packed shard file."""
+def write_shard(path: str, samples, spec: Optional[schema.SampleSpec] = None,
+                tags=None) -> None:
+    """Write an iterable of schema Samples to one packed shard file.
+
+    ``tags``: optional per-sample split tags (e.g. day/night from nuScenes
+    scene descriptions; SURVEY.md §6). Stored in a `<shard>.tags.json`
+    sidecar — the fixed-record binary layout (and the native loader's header
+    parser) stays unchanged.
+    """
     samples = list(samples)
     assert samples, "empty shard"
+    if tags is not None:
+        tags = list(tags)
+        assert len(tags) == len(samples), (len(tags), len(samples))
+        import json
+
+        with open(path + ".tags.json", "w") as f:
+            json.dump(tags, f)
     fields = [(k, np.asarray(samples[0][k]).dtype,
                tuple(np.asarray(samples[0][k]).shape))
               for k in schema.SAMPLE_KEYS]
@@ -240,6 +253,26 @@ class PackedDataset:
 
     def __len__(self) -> int:
         return self._n
+
+    @property
+    def tags(self):
+        """Per-sample split tags from the `<shard>.tags.json` sidecar (written
+        by write_shard(tags=...)), or None."""
+        if not hasattr(self, "_tags"):
+            self._tags = None
+            sidecar = self.path + ".tags.json"
+            if os.path.exists(sidecar):
+                import json
+
+                with open(sidecar) as f:
+                    t = json.load(f)
+                if len(t) == self._n:
+                    self._tags = t
+        return self._tags
+
+    def sample_tag(self, index: int) -> str:
+        t = self.tags
+        return t[int(index)] if t is not None else "all"
 
     def _unpack(self, raw: np.ndarray, batch: int) -> Dict[str, np.ndarray]:
         out = {}

@@ -40,6 +40,11 @@ class SceneConfig:
     lidar_rows: int = 64
     lidar_cols: int = 640
     camera_height: float = 1.5  # camera above ground (m)
+    # Fraction of night scenes (nuScenes scene descriptions carry day/night;
+    # the paper reports the splits separately — SURVEY.md §6). Night samples
+    # get a darkened render + higher sensor noise; radar/LiDAR are unaffected
+    # (radar is lighting-invariant — the paper's motivation).
+    night_frac: float = 0.25
 
 
 def _nuscenes_intrinsics(height: int, width: int) -> np.ndarray:
@@ -87,6 +92,19 @@ class SyntheticNuScenes:
 
     def __len__(self) -> int:
         return self.num_samples
+
+    def is_night(self, index: int) -> bool:
+        """Deterministic day/night attribute of sample ``index``. Drawn from a
+        stream independent of the scene rng so adding the attribute did not
+        shift any previously-golden sample content."""
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, int(index), 0x4E494748]))
+        return bool(rng.uniform() < self.scene.night_frac)
+
+    def sample_tag(self, index: int) -> str:
+        """Split tag for per-split evaluation (paper reports day/night
+        separately; SURVEY.md §6)."""
+        return "night" if self.is_night(index) else "day"
 
     # ---------------------------------------------------------------- world
 
@@ -225,6 +243,13 @@ class SyntheticNuScenes:
         world = self._make_world(rng)
 
         image = self._render_image(K, world, rng)
+        if self.is_night(index):
+            # darken + extra sensor noise; geometry (GT/radar) untouched
+            nrng = np.random.default_rng(
+                np.random.SeedSequence([self.seed, index, 0x4E494749]))
+            dark = image.astype(np.float32) * 0.22
+            dark += nrng.normal(0, 6.0, dark.shape)
+            image = np.clip(dark, 0, 255).astype(np.uint8)
 
         lidar = self._lidar_points(world, rng)
         if len(lidar) > spec.lidar_points:

@@ -104,5 +104,6 @@ class Predictor:
         """Raw schema batch → reference Result-style metrics dict."""
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         pred, target = self._infer(self.params, self.batch_stats, batch)
-        sums = compute_metric_sums(pred[..., None], target[..., None])
+        sums = compute_metric_sums(pred[..., None], target[..., None],
+                                   self.cfg.metric_avg)
         return finalize_metrics(jax.tree_util.tree_map(np.asarray, sums))

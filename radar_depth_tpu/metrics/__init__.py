@@ -43,14 +43,25 @@ def _per_sample_mean(x: jax.Array, mask: jax.Array) -> jax.Array:
     return jnp.where(count > 0, total / jnp.maximum(count, 1), 0.0), count
 
 
-def compute_metric_sums(pred: jax.Array, target: jax.Array) -> Dict[str, jax.Array]:
-    """Per-sample metrics summed over the batch → scalar pytree of sums.
+def compute_metric_sums(pred: jax.Array, target: jax.Array,
+                        convention: str = "sample") -> Dict[str, jax.Array]:
+    """Per-batch metrics → scalar pytree of sums (finish with
+    finalize_metrics: metric = sum / count).
 
-    Returns sums over samples with `count` = number of samples that had at
-    least one valid pixel; divide by `count` to finish (see finalize_metrics).
-    All math mirrors upstream:metrics.py::Result.evaluate: valid = target>0,
-    inverse metrics in 1/km, lg10 = |log10 pred − log10 target|, δi =
-    mean(max(pred/target, target/pred) < 1.25**i).
+    convention="sample" (default): per-sample pixel means summed over samples,
+    count = samples with ≥1 valid pixel. Exact under padded/ragged eval tails.
+
+    convention="batch": the reference's AverageMeter weighting EXACTLY
+    (upstream:metrics.py::Result.evaluate pools ALL valid pixels of the batch
+    into one value; AverageMeter.update(result, n=batch_size) then weights by
+    batch size — so rmse is the mean of per-batch sqrt values). Implemented as
+    batch-pooled value × n summed, count = n. Padding samples (all-invalid
+    target) are excluded from n, which matches the reference on its own data
+    (it never pads) while keeping our padded tails exact.
+
+    All metric math mirrors upstream:metrics.py::Result.evaluate:
+    valid = target>0, inverse metrics in 1/km, lg10 = |log10 pred − log10
+    target|, δi = mean(max(pred/target, target/pred) < 1.25**i).
     """
     pred = pred.astype(jnp.float32)
     target = target.astype(jnp.float32)
@@ -58,36 +69,70 @@ def compute_metric_sums(pred: jax.Array, target: jax.Array) -> Dict[str, jax.Arr
     safe_pred = jnp.maximum(pred, 1e-6)  # guards log/division; masked anyway
     safe_target = jnp.where(valid, target, 1.0)
 
+    if convention == "batch":
+        mean = _pooled_mean_fn(valid)
+    elif convention == "sample":
+        mean = None
+    else:
+        raise ValueError(f"unknown metric convention {convention!r}")
+
+    def per_mean(x):
+        if mean is not None:
+            return mean(x), None
+        return _per_sample_mean(x, valid)
+
     abs_diff = jnp.abs(pred - target)
     sums = {}
     per = {}
-    per["mse"], count = _per_sample_mean(jnp.square(pred - target), valid)
-    per["mae"], _ = _per_sample_mean(abs_diff, valid)
-    per["absrel"], _ = _per_sample_mean(abs_diff / safe_target, valid)
-    per["lg10"], _ = _per_sample_mean(
-        jnp.abs(jnp.log10(safe_pred) - jnp.log10(safe_target)), valid
+    per["mse"], count = per_mean(jnp.square(pred - target))
+    per["mae"], _ = per_mean(abs_diff)
+    per["absrel"], _ = per_mean(abs_diff / safe_target)
+    per["lg10"], _ = per_mean(
+        jnp.abs(jnp.log10(safe_pred) - jnp.log10(safe_target))
     )
     max_ratio = jnp.maximum(safe_pred / safe_target, safe_target / safe_pred)
-    per["delta1"], _ = _per_sample_mean((max_ratio < 1.25).astype(jnp.float32), valid)
-    per["delta2"], _ = _per_sample_mean((max_ratio < 1.25**2).astype(jnp.float32), valid)
-    per["delta3"], _ = _per_sample_mean((max_ratio < 1.25**3).astype(jnp.float32), valid)
+    per["delta1"], _ = per_mean((max_ratio < 1.25).astype(jnp.float32))
+    per["delta2"], _ = per_mean((max_ratio < 1.25**2).astype(jnp.float32))
+    per["delta3"], _ = per_mean((max_ratio < 1.25**3).astype(jnp.float32))
     # Inverse metrics in 1/km (reference: inv_output_km = (1e-3 * pred_m)^-1,
     # i.e. 1000/depth_m — a 10 m return is 100 km^-1).
     inv_pred = 1.0 / (1e-3 * safe_pred)
     inv_target = 1.0 / (1e-3 * safe_target)
-    per["imse"], _ = _per_sample_mean(jnp.square(inv_pred - inv_target), valid)
-    per["imae"], _ = _per_sample_mean(jnp.abs(inv_pred - inv_target), valid)
-    # rmse/irmse are per-sample sqrt of per-sample mse (reference convention:
-    # Result.evaluate computes sqrt per evaluate() call, i.e. per batch).
+    per["imse"], _ = per_mean(jnp.square(inv_pred - inv_target))
+    per["imae"], _ = per_mean(jnp.abs(inv_pred - inv_target))
+    # rmse/irmse: sqrt of the mse at the evaluate() granularity (per sample
+    # for convention="sample", per batch for convention="batch" — the
+    # reference computes sqrt once per Result.evaluate call).
     per["rmse"] = jnp.sqrt(per["mse"])
     per["irmse"] = jnp.sqrt(per["imse"])
     del per["imse"]
+
+    if convention == "batch":
+        # one pooled value per batch, weighted by the (non-padding) batch size
+        axes = tuple(range(1, valid.ndim))
+        n = jnp.sum(jnp.any(valid, axis=axes).astype(jnp.float32))
+        for name, val in per.items():
+            sums[name] = val * n
+        sums["count"] = n
+        return sums
 
     has_valid = (count > 0).astype(jnp.float32)
     for name, val in per.items():
         sums[name] = jnp.sum(val * has_valid)
     sums["count"] = jnp.sum(has_valid)
     return sums
+
+
+def _pooled_mean_fn(valid: jax.Array):
+    """Mean over every valid pixel in the whole batch (reference
+    Result.evaluate semantics)."""
+    count = jnp.sum(valid)
+
+    def mean(x):
+        total = jnp.sum(jnp.where(valid, x, 0.0))
+        return jnp.where(count > 0, total / jnp.maximum(count, 1), 0.0)
+
+    return mean
 
 
 def zeros_metric_sums() -> Dict[str, jax.Array]:

@@ -129,6 +129,116 @@ def points_to_linear(
     return lin, zf
 
 
+# ------------------------------------------------- sorted tile-partitioned
+
+
+def _raster_sorted_kernel(starts_ref, lin_ref, z_ref, out_ref, *,
+                          ntiles: int, rpt: int):
+    """One program per batch element; in-kernel loop over pixel tiles.
+
+    Points arrive SORTED by linear pixel index and packed as (PR, 128) VMEM
+    rows; ``starts_ref`` (SMEM, scalar-prefetched) holds the searchsorted
+    tile boundaries, so tile t only touches its own packed point rows —
+    total compare work is P × TILE instead of the broadcast kernel's P × HW
+    (VERDICT r1 #6 / NOTES open item #2).
+
+    lin_ref/z_ref: (1, PR, 128); out_ref: (1, ntiles*rpt, 128);
+    starts_ref: (B, ntiles+1) int32.
+    """
+    b = pl.program_id(0)
+
+    def tile_body(t, carry):
+        s = starts_ref[b, t]
+        e = starts_ref[b, t + 1]
+        pix = (
+            t * (rpt * 128)
+            + jax.lax.broadcasted_iota(jnp.int32, (rpt, 128), 0) * 128
+            + jax.lax.broadcasted_iota(jnp.int32, (rpt, 128), 1)
+        )
+
+        def row_body(pr, acc):
+            lin_row = lin_ref[0, pl.ds(pr, 1), :]  # (1, 128)
+            z_row = z_ref[0, pl.ds(pr, 1), :]
+            lin3 = jnp.transpose(lin_row)[:, :, None]  # points → sublanes
+            z3 = jnp.transpose(z_row)[:, :, None]
+            # (128 points, rpt, 128 pixels): a point of a neighboring tile
+            # can never equal one of this tile's pixel ids, so boundary
+            # packed rows shared between tiles need no masking.
+            vals = jnp.where(lin3 == pix[None], z3, jnp.inf)
+            return jnp.minimum(acc, jnp.min(vals, axis=0))
+
+        acc = jnp.full((rpt, 128), jnp.inf, jnp.float32)
+        r0 = s // 128
+        r1 = jnp.where(e > s, (e - 1) // 128 + 1, r0)
+        acc = jax.lax.fori_loop(r0, r1, row_body, acc)
+        out_ref[0, pl.ds(t * rpt, rpt), :] = acc
+        return carry
+
+    jax.lax.fori_loop(0, ntiles, tile_body, 0)
+
+
+def rasterize_min_depth_pallas_sorted(
+    lin_sorted: jax.Array,
+    z_sorted: jax.Array,
+    height: int,
+    width: int,
+    tile_rows: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Sorted + searchsorted tile-partitioned rasterizer.
+
+    Args:
+      lin_sorted, z_sorted: (B, P) from ops.raster.sort_points_by_pixel —
+        linear pixel indices ascending, invalid points at sentinel 2^30.
+      tile_rows: pixel tile height in 128-lane rows (tile = tile_rows*128 px).
+
+    Returns (B, height, width) float32 min-depth map, 0 where empty.
+    """
+    b, p = lin_sorted.shape
+    pr = _cdiv(p, 128)
+    p_pad = pr * 128
+    if p_pad != p:
+        lin_sorted = jnp.pad(lin_sorted, ((0, 0), (0, p_pad - p)),
+                             constant_values=1 << 30)
+        z_sorted = jnp.pad(z_sorted, ((0, 0), (0, p_pad - p)),
+                           constant_values=jnp.inf)
+    hw = height * width
+    ntiles = _cdiv(_cdiv(hw, 128), tile_rows)
+    rows = ntiles * tile_rows
+    boundaries = (jnp.arange(ntiles + 1, dtype=jnp.int32) * (tile_rows * 128))
+    starts = jax.vmap(
+        lambda l: jnp.searchsorted(l, boundaries, side="left")
+    )(lin_sorted).astype(jnp.int32)
+
+    kernel = functools.partial(_raster_sorted_kernel, ntiles=ntiles,
+                               rpt=tile_rows)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, pr, 128), lambda i, starts: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, pr, 128), lambda i, starts: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, rows, 128),
+                                   lambda i, starts: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, rows, 128), jnp.float32),
+        interpret=interpret,
+    )(
+        starts,
+        lin_sorted.reshape(b, pr, 128).astype(jnp.int32),
+        z_sorted.reshape(b, pr, 128).astype(jnp.float32),
+    )
+    flat = out.reshape(b, rows * 128)[:, :hw]
+    depth = jnp.where(jnp.isinf(flat), 0.0, flat)
+    return depth.reshape(b, height, width)
+
+
 # ------------------------------------------------------------------ epilogue
 
 

@@ -192,6 +192,86 @@ def radar_to_depth_map(
     )
 
 
+def sort_points_by_pixel(
+    uv: jax.Array,
+    z: jax.Array,
+    valid: jax.Array,
+    height: int,
+    width: int,
+    min_depth: float,
+    max_depth: float,
+) -> tuple[jax.Array, jax.Array]:
+    """Front half of the sorted rasterization paths: floor-bin + filter, then
+    sort points by linear pixel index (invalid → sentinel 2^30, sorts last).
+
+    Returns (lin_sorted, z_sorted), each (..., P). Pure data-parallel XLA
+    (lax.sort is a parallel bitonic network on TPU — no serialization).
+    """
+    u = jnp.floor(uv[..., 0]).astype(jnp.int32)
+    v = jnp.floor(uv[..., 1]).astype(jnp.int32)
+    ok = (
+        valid
+        & (u >= 0) & (u < width) & (v >= 0) & (v < height)
+        & (z > min_depth) & (z < max_depth)
+    )
+    sentinel = jnp.int32(1 << 30)
+    lin = jnp.where(ok, v * width + u, sentinel)
+    zf = jnp.where(ok, z, _INF).astype(jnp.float32)
+    return jax.lax.sort_key_val(lin, zf, dimension=-1)
+
+
+def rasterize_min_depth_sorted_xla(
+    uv: jax.Array,
+    z: jax.Array,
+    valid: jax.Array,
+    height: int,
+    width: int,
+    min_depth: float = 0.0,
+    max_depth: float = jnp.inf,
+) -> jax.Array:
+    """Sorted + unique-scatter z-buffer: an alternative to the scatter-min
+    path whose scatter has guaranteed-unique indices (XLA needs no collision
+    handling, so the update loop is not forced serial by a combiner).
+
+    Lexicographic sort by (pixel, depth) puts each pixel's minimum depth at
+    the head of its run; run heads have unique pixel indices by construction,
+    so a single `set`-scatter with ``unique_indices=True`` finishes the map.
+    Same contract as :func:`rasterize_min_depth` (VERDICT r1 #6 exploration).
+    """
+    u = jnp.floor(uv[..., 0]).astype(jnp.int32)
+    v = jnp.floor(uv[..., 1]).astype(jnp.int32)
+    ok = (
+        valid
+        & (u >= 0) & (u < width) & (v >= 0) & (v < height)
+        & (z > min_depth) & (z < max_depth)
+    )
+    hw = height * width
+    lin = jnp.where(ok, v * width + u, hw)
+    zf = jnp.where(ok, z, _INF).astype(jnp.float32)
+    # two-key lexicographic sort: by pixel, then by depth within a pixel
+    lin_s, z_s = jax.lax.sort((lin, zf), dimension=-1, num_keys=2)
+
+    def scatter_one(lin_s, z_s):
+        p = lin_s.shape[0]
+        head = jnp.concatenate(
+            [jnp.ones((1,), bool), lin_s[1:] != lin_s[:-1]])
+        keep = head & (lin_s < hw)
+        # non-heads route to distinct out-of-range bins → dropped, and every
+        # index in the scatter is unique (head pixels are unique by definition)
+        tgt = jnp.where(keep, lin_s, hw + jnp.arange(p, dtype=jnp.int32))
+        buf = jnp.zeros((hw,), jnp.float32)
+        buf = buf.at[tgt].set(z_s, mode="drop", unique_indices=True)
+        return buf.reshape(height, width)
+
+    batch = lin_s.shape[:-1]
+    if batch:
+        flat = jax.vmap(scatter_one)(
+            lin_s.reshape((-1,) + lin_s.shape[-1:]),
+            z_s.reshape((-1,) + z_s.shape[-1:]))
+        return flat.reshape(batch + (height, width))
+    return scatter_one(lin_s, z_s)
+
+
 def depth_map_to_points(
     depth: jax.Array, max_points: int
 ) -> tuple[jax.Array, jax.Array, jax.Array]:

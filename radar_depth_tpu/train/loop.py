@@ -57,9 +57,10 @@ def make_datasets(cfg: TrainConfig):
 
 
 def iterate_batches(dataset, batch_size: int, shuffle: bool, seed: int,
-                    drop_last: bool) -> Iterable[Dict]:
-    n = len(dataset)
-    order = np.arange(n)
+                    drop_last: bool, indices=None) -> Iterable[Dict]:
+    order = (np.asarray(list(indices)) if indices is not None
+             else np.arange(len(dataset)))
+    n = len(order)
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
     end = n - (n % batch_size) if drop_last else n
@@ -313,11 +314,15 @@ class Trainer:
         metrics["gpu_time"] = step_t.average
         return metrics
 
-    def validate(self, epoch: int = 0, viz: bool = True) -> Dict[str, float]:
+    def validate(self, epoch: int = 0, viz: bool = True,
+                 indices=None) -> Dict[str, float]:
         """Sharded eval pass. Comparison panel: one row (first sample) from
         every val_viz_every-th batch, up to 8 rows stacked into one PNG per
         epoch — the reference's skip-sampled merge_into_row/add_row behavior
-        (upstream:main.py::validate, SURVEY.md §2 C11)."""
+        (upstream:main.py::validate, SURVEY.md §2 C11).
+
+        ``indices``: restrict to a val subset (per-split day/night evaluation
+        — the paper reports these separately, SURVEY.md §6)."""
         cfg = self.cfg
         sums = zeros_metric_sums()
         acc = None
@@ -326,7 +331,8 @@ class Trainer:
         wall_t0, total_data, nsteps = t0, 0.0, 0
         viz_outs = []  # async device results; fetched once at the end
         for i, batch in enumerate(iterate_batches(self.val_ds, cfg.batch_size,
-                                                  False, 0, drop_last=False)):
+                                                  False, 0, drop_last=False,
+                                                  indices=indices)):
             batch, _ = pad_batch_to(batch, cfg.batch_size)
             batch = shard_batch(batch, self.mesh)
             t1 = time.perf_counter()
@@ -357,6 +363,22 @@ class Trainer:
             save_image(panel, os.path.join(cfg.output_dir,
                                            f"comparison_epoch{epoch}.png"))
         return metrics
+
+    def validate_splits(self, epoch: int = 0) -> Dict[str, Dict[str, float]]:
+        """Per-split evaluation (SURVEY.md §6: the paper reports day/night
+        separately). Splits come from the dataset's sample_tag(i) — synthetic
+        scenes carry a deterministic day/night attribute; packed shards read a
+        tags.json sidecar. Returns {tag: metrics}."""
+        tag_fn = getattr(self.val_ds, "sample_tag", None)
+        if tag_fn is None:
+            return {}
+        groups: Dict[str, list] = {}
+        for i in range(len(self.val_ds)):
+            groups.setdefault(tag_fn(i), []).append(i)
+        if len(groups) <= 1:
+            return {}
+        return {tag: self.validate(epoch, viz=False, indices=idx)
+                for tag, idx in sorted(groups.items())}
 
     def fit(self):
         cfg = self.cfg

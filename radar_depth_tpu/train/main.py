@@ -20,6 +20,10 @@ def main(argv=None) -> int:
         trainer.load_for_evaluate()
         metrics = trainer.validate(epoch=0)
         print("validation:", {k: round(v, 4) for k, v in metrics.items()})
+        if cfg.eval_splits:
+            for tag, m in trainer.validate_splits(epoch=0).items():
+                print(f"validation[{tag}]:",
+                      {k: round(v, 4) for k, v in m.items()})
         return 0
     trainer.fit()
     return 0

@@ -105,7 +105,7 @@ def make_train_step(model, spec: ArchSpec, cfg: TrainConfig,
             step=state.step + 1, params=params,
             batch_stats=batch_stats, opt_state=opt_state,
         )
-        sums = compute_metric_sums(pred, target)
+        sums = compute_metric_sums(pred, target, cfg.metric_avg)
         sums["loss"] = loss.astype(jnp.float32)
         return new_state, sums
 
@@ -121,7 +121,7 @@ def make_eval_step(model, spec: ArchSpec, cfg: TrainConfig) -> Callable:
         out = _forward(model, spec, variables, prepared, cfg,
                        train=False, mutable=False)
         loss, pred = _loss_and_pred(out, prepared["target"], cfg, spec)
-        sums = compute_metric_sums(pred, prepared["target"])
+        sums = compute_metric_sums(pred, prepared["target"], cfg.metric_avg)
         sums["loss"] = loss.astype(jnp.float32)
         return sums
 

@@ -44,7 +44,8 @@ def main() -> int:
         ds = SyntheticNuScenes(n, spec=spec, seed=seed)
         path = os.path.join(args.out, split, "data.rdtp")
         t0 = time.time()
-        write_shard(path, (ds[i] for i in range(n)))
+        write_shard(path, (ds[i] for i in range(n)),
+                    tags=[ds.sample_tag(i) for i in range(n)])
         size_mb = os.path.getsize(path) / 1e6
         print(f"{split}: {n} samples → {path} ({size_mb:.0f} MB, "
               f"{time.time() - t0:.1f}s)")

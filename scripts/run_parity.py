@@ -1,0 +1,294 @@
+"""Full-resolution end-to-end parity protocol (SURVEY.md §6 parity protocol;
+BASELINE.json accuracy north star: "≤1% RMSE delta", "depth maps within float
+tolerance"; VERDICT r1 next-round item #5).
+
+Pipeline-vs-pipeline comparison at working resolution (450×800 by default):
+
+  torch side : sequential NumPy preprocessing oracle (per-sweep SE(3) chain →
+               pinhole projection → z-buffer min raster, the devkit-style loop
+               of upstream:scripts/* / SURVEY.md §3.3) feeding the torch-CPU
+               oracle two-stage model (oracle/torch_model.py, eval mode).
+  jax side   : the production jitted path — prepare_eval_batch (fused
+               on-device preproc) + models.fusion.MultiStageNet.apply —
+               float32, matmul precision "highest" so TPU f32 convs do not
+               silently drop to bf16 passes.
+
+Weights: by default a seeded torch init with warmed BatchNorm statistics,
+converted torch→jax (the well-tested converter direction). Pass --run to
+instead export a trained JAX checkpoint branch-wise into the torch oracle
+(jax→torch direction), which additionally makes the absolute RMSE numbers
+meaningful (a trained model, not noise).
+
+Outputs the measured per-model masked RMSE vs GT, the relative RMSE delta,
+and max/mean abs difference between the two predicted depth maps; optionally
+rewrites PARITY.md (--write-md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# Sequential NumPy preprocessing oracle (independent of radar_depth_tpu.ops —
+# this is the devkit-style per-sample loop the fused kernels replace).
+# --------------------------------------------------------------------------
+
+
+def _raster_oracle(uv, z, valid, h, w, min_depth, max_depth):
+    out = np.zeros((h, w), np.float32)
+    for i in range(uv.shape[0]):
+        if not valid[i]:
+            continue
+        zi = float(z[i])
+        if not (min_depth < zi < max_depth):
+            continue
+        u, v = int(np.floor(uv[i, 0])), int(np.floor(uv[i, 1]))
+        if 0 <= u < w and 0 <= v < h:
+            if out[v, u] == 0 or zi < out[v, u]:
+                out[v, u] = zi
+    return out
+
+
+def numpy_preprocess_sample(sample, spec):
+    """Raw schema sample → {rgb, radar, target} with sequential loops."""
+    h, w = spec.height, spec.width
+    K = sample["intrinsics"]
+    all_uv, all_z, all_valid = [], [], []
+    for s in range(spec.num_sweeps):
+        T = sample["radar_transform"][s]
+        pts = sample["radar_points"][s]
+        pts_cam = (T[:3, :3] @ pts.T).T + T[:3, 3]
+        z = pts_cam[:, 2]
+        zc = np.maximum(z, 1e-6)
+        uv = (K @ (pts_cam / zc[:, None]).T).T[:, :2]
+        all_uv.append(uv)
+        all_z.append(z)
+        all_valid.append(sample["radar_valid"][s] & (z > 1e-6))
+    radar = _raster_oracle(
+        np.concatenate(all_uv), np.concatenate(all_z), np.concatenate(all_valid),
+        h, w, spec.min_depth, spec.max_depth)
+    return {
+        "rgb": sample["image"].astype(np.float32) / 255.0,
+        "radar": radar[..., None],
+        "target": sample["lidar_depth"][..., None].astype(np.float32),
+    }
+
+
+def masked_rmse(pred, target):
+    m = target > 0
+    return float(np.sqrt(np.mean((pred[m] - target[m]) ** 2)))
+
+
+# --------------------------------------------------------------------------
+
+
+def run_parity(height=450, width=800, num_samples=16, batch=4, sweeps=5,
+               decoder="upproj", depth=18, run_dir=None, seed=0,
+               torch_batch=2, progress=print):
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    import jax.numpy as jnp
+    import torch
+
+    from radar_depth_tpu.data.schema import SampleSpec
+    from radar_depth_tpu.data.synthetic import SyntheticNuScenes
+    from radar_depth_tpu.models import create_model
+    from radar_depth_tpu.ops.preprocess import PreprocessConfig, prepare_eval_batch
+    from radar_depth_tpu.oracle.torch_model import TorchMultiStageNet
+    from radar_depth_tpu.utils.torch_convert import (
+        torch_state_dict_to_variables,
+        variables_to_torch_state_dict,
+    )
+
+    torch.manual_seed(seed)
+    spec = SampleSpec(height=height, width=width, num_sweeps=sweeps,
+                      max_depth=80.0)
+    ds = SyntheticNuScenes(num_samples, spec=spec, seed=seed + 1)
+
+    arch = f"resnet{depth}_multistage"
+    model, arch_spec = create_model(arch, decoder=decoder,
+                                    output_size=(height, width),
+                                    dtype=jnp.float32)
+    rgb0 = jnp.zeros((1, height, width, 3), jnp.float32)
+    radar0 = jnp.zeros((1, height, width, 1), jnp.float32)
+    template = model.init(jax.random.PRNGKey(0), rgb0, radar0, train=False)
+
+    tmodel = TorchMultiStageNet(depth, decoder, (height, width),
+                                abs_threshold=2.0)
+    if run_dir:
+        # jax→torch direction: trained checkpoint exported into the oracle.
+        from radar_depth_tpu.config import DataConfig, ModelConfig, TrainConfig
+        from radar_depth_tpu.inference import Predictor
+
+        cfg = TrainConfig(
+            data=DataConfig(height=height, width=width, num_sweeps=sweeps),
+            model=ModelConfig(arch=arch, decoder=decoder))
+        predictor = Predictor.from_run(run_dir, cfg=cfg)
+        variables = {
+            "params": jax.tree_util.tree_map(np.asarray, predictor.params),
+            "batch_stats": jax.tree_util.tree_map(np.asarray,
+                                                  predictor.batch_stats)}
+        sd = variables_to_torch_state_dict(variables)
+        tmodel.load_state_dict(
+            {k: torch.from_numpy(np.ascontiguousarray(v))
+             for k, v in sd.items()})
+        weights_src = f"trained checkpoint: {run_dir}"
+    else:
+        # torch→jax direction: seeded init; warm BN on a real batch so the
+        # batch_stats conversion path is non-trivially exercised.
+        warm = [numpy_preprocess_sample(ds[i], spec) for i in range(2)]
+        to_t = lambda k: torch.from_numpy(
+            np.stack([s[k] for s in warm]).transpose(0, 3, 1, 2))
+        tmodel.train()
+        with torch.no_grad():
+            tmodel(to_t("rgb"), to_t("radar"))
+        variables = torch_state_dict_to_variables(tmodel.state_dict(), template)
+        weights_src = f"seeded torch init (seed={seed}), warmed BN"
+    tmodel.eval()
+
+    # --- jax side: the production jitted path over the full preproc graph
+    pre_cfg = PreprocessConfig(spec=spec)
+
+    @jax.jit
+    def jax_forward(params, batch_stats, batch):
+        prepared = prepare_eval_batch(batch, pre_cfg)
+        coarse, refined = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            prepared["rgb"], prepared["radar"], train=False)
+        return refined, prepared["radar"]
+
+    params = variables["params"]
+    batch_stats = variables["batch_stats"]
+
+    jax_preds, torch_preds, targets = [], [], []
+    t_jax = t_torch = 0.0
+    max_radar_diff = 0.0
+    for i0 in range(0, num_samples, batch):
+        idx = range(i0, min(i0 + batch, num_samples))
+        raw = ds.batch(idx)
+        jb = {k: jnp.asarray(v) for k, v in raw.items()}
+        t0 = time.perf_counter()
+        pred_j, radar_j = jax.tree_util.tree_map(
+            np.asarray, jax_forward(params, batch_stats, jb))
+        t_jax += time.perf_counter() - t0
+
+        pre = [numpy_preprocess_sample(ds[i], spec) for i in idx]
+        # preproc parity: fused on-device raster == sequential numpy oracle
+        radar_np = np.stack([s["radar"] for s in pre])
+        max_radar_diff = max(max_radar_diff,
+                             float(np.abs(radar_j - radar_np).max()))
+        t0 = time.perf_counter()
+        with torch.no_grad():
+            for j0 in range(0, len(pre), torch_batch):
+                chunk = pre[j0: j0 + torch_batch]
+                to_t = lambda k: torch.from_numpy(
+                    np.stack([s[k] for s in chunk]).transpose(0, 3, 1, 2))
+                _, refined = tmodel(to_t("rgb"), to_t("radar"))
+                torch_preds.append(refined.numpy().transpose(0, 2, 3, 1))
+        t_torch += time.perf_counter() - t0
+        jax_preds.append(pred_j)
+        targets.append(np.stack([s["target"] for s in pre]))
+        progress(f"  {min(i0 + batch, num_samples)}/{num_samples} samples")
+
+    pj = np.concatenate(jax_preds)
+    pt = np.concatenate(torch_preds)
+    tg = np.concatenate(targets)
+    rmse_j = masked_rmse(pj, tg)
+    rmse_t = masked_rmse(pt, tg)
+    diff = np.abs(pj - pt)
+    report = {
+        "height": height, "width": width, "num_samples": num_samples,
+        "sweeps": sweeps, "arch": arch, "decoder": decoder,
+        "weights": weights_src,
+        "rmse_torch": rmse_t, "rmse_jax": rmse_j,
+        "rmse_rel_delta": abs(rmse_j - rmse_t) / rmse_t if rmse_t else 0.0,
+        "pred_max_abs_diff": float(diff.max()),
+        "pred_mean_abs_diff": float(diff.mean()),
+        "preproc_max_abs_diff": max_radar_diff,
+        "jax_backend": jax.default_backend(),
+        "t_jax_s": round(t_jax, 2), "t_torch_s": round(t_torch, 2),
+    }
+    return report
+
+
+def write_md(reports, path):
+    lines = [
+        "# PARITY — full-resolution end-to-end protocol (SURVEY.md §6)",
+        "",
+        "Two independent pipelines over the same deterministic synthetic val",
+        "set: the sequential NumPy preproc oracle + torch-CPU oracle model",
+        "vs the production fused JAX path (prepare_eval_batch + jitted",
+        "two-stage forward, f32, matmul precision 'highest'). Generated by",
+        "`python scripts/run_parity.py --write-md`.",
+        "",
+        "| res | N | weights | RMSE torch (m) | RMSE jax (m) | RMSE Δ | pred max abs diff (m) | pred mean abs diff | preproc max diff | backend |",
+        "|---|---|---|---|---|---|---|---|---|---|",
+    ]
+    for r in reports:
+        lines.append(
+            f"| {r['height']}×{r['width']} | {r['num_samples']} "
+            f"| {r['weights']} | {r['rmse_torch']:.6f} | {r['rmse_jax']:.6f} "
+            f"| {r['rmse_rel_delta'] * 100:.4f}% | {r['pred_max_abs_diff']:.2e} "
+            f"| {r['pred_mean_abs_diff']:.2e} | {r['preproc_max_abs_diff']:.2e} "
+            f"| {r['jax_backend']} |")
+    lines += [
+        "",
+        "North star (BASELINE.json): RMSE delta ≤ 1%; depth maps within float",
+        "tolerance. `preproc max diff` is the fused on-device rasterization vs",
+        "the sequential z-buffer loop (expected exactly 0.0: min is order-free",
+        "and binning is exact in f32).",
+        "",
+        "Reproduce: `python scripts/run_parity.py` (add `--run <dir>` to use a",
+        "trained checkpoint; slow-marked test `tests/test_parity_full.py` runs",
+        "the same protocol at reduced sample count in CI).",
+        "",
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--height", type=int, default=450)
+    p.add_argument("--width", type=int, default=800)
+    p.add_argument("--num-samples", type=int, default=16)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--sweeps", type=int, default=5)
+    p.add_argument("--decoder", default="upproj")
+    p.add_argument("--depth", type=int, default=18, choices=[18, 34])
+    p.add_argument("--run", default=None,
+                   help="trained run dir to export into the torch oracle")
+    p.add_argument("--cpu", action="store_true", help="force jax onto CPU")
+    p.add_argument("--write-md", action="store_true")
+    args = p.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    report = run_parity(args.height, args.width, args.num_samples, args.batch,
+                        args.sweeps, args.decoder, args.depth, args.run)
+    print(json.dumps(report, indent=2))
+    ok = report["rmse_rel_delta"] <= 0.01
+    print(f"RMSE delta {report['rmse_rel_delta'] * 100:.4f}% "
+          f"{'≤' if ok else '>'} 1% — {'PASS' if ok else 'FAIL'}")
+    if args.write_md:
+        write_md([report], os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "PARITY.md"))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

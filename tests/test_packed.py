@@ -39,6 +39,23 @@ def test_python_reader_roundtrip(shard):
             np.testing.assert_array_equal(got[k], want[k], err_msg=k)
 
 
+def test_tags_sidecar_roundtrip(tmp_path):
+    """write_shard(tags=...) → PackedDataset.sample_tag (day/night split
+    metadata rides a JSON sidecar; the binary record format is unchanged)."""
+    path = str(tmp_path / "data.rdtp")
+    ds = SyntheticNuScenes(6, spec=SPEC, seed=5)
+    tags = [ds.sample_tag(i) for i in range(6)]
+    packed.write_shard(path, [ds[i] for i in range(6)], tags=tags)
+    r = packed.PackedDataset(path, use_native=False)
+    assert r.tags == tags
+    assert [r.sample_tag(i) for i in range(6)] == tags
+    # absent sidecar → graceful "all"
+    path2 = str(tmp_path / "no_tags.rdtp")
+    packed.write_shard(path2, [ds[i] for i in range(3)])
+    r2 = packed.PackedDataset(path2, use_native=False)
+    assert r2.tags is None and r2.sample_tag(0) == "all"
+
+
 def test_native_reader_matches_python(shard):
     path, ds = shard
     if not packed.native_available():

@@ -23,6 +23,30 @@ def test_deterministic_and_valid():
     assert not np.array_equal(s3["image"], s1["image"])
 
 
+def test_day_night_attribute():
+    """Deterministic day/night split tags (paper reports splits separately,
+    SURVEY.md §6): stable across instances, night images are darker, geometry
+    (GT/radar) identical to the day rendering of the same scene."""
+    from radar_depth_tpu.data.synthetic import SceneConfig
+
+    ds = SyntheticNuScenes(64, spec=SPEC, seed=3)
+    tags = [ds.sample_tag(i) for i in range(64)]
+    assert tags == [SyntheticNuScenes(64, spec=SPEC, seed=3).sample_tag(i)
+                    for i in range(64)]
+    assert {"day", "night"} == set(tags), "both splits must occur at n=64"
+
+    night_i = tags.index("night")
+    s_night = ds[night_i]
+    # same scene forced to day: only the image differs
+    day_ds = SyntheticNuScenes(
+        64, spec=SPEC, seed=3,
+        scene=SceneConfig(night_frac=0.0))
+    s_day = day_ds[night_i]
+    assert s_night["image"].mean() < 0.5 * s_day["image"].mean()
+    for k in ("lidar_depth", "radar_points", "radar_transform", "intrinsics"):
+        np.testing.assert_array_equal(s_night[k], s_day[k])
+
+
 def test_gt_depth_matches_rasterized_lidar_points():
     ds = SyntheticNuScenes(2, spec=SPEC, seed=1)
     s = ds[0]

@@ -139,6 +139,61 @@ def test_multistage_init_from_stage1(tmp_path):
             np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
+def test_validate_splits_day_night(tmp_path):
+    """Per-split (day/night) evaluation over the sharded val pass
+    (SURVEY.md §6: the paper reports day/night separately)."""
+    from radar_depth_tpu.train.loop import Trainer
+
+    base = tiny_config(tmp_path)
+    cfg = TrainConfig(**{**base.__dict__,
+                         "data": DataConfig(**{**base.data.__dict__,
+                                               "num_val": 24})})
+    tr = Trainer(cfg)
+    tags = {tr.val_ds.sample_tag(i) for i in range(len(tr.val_ds))}
+    splits = tr.validate_splits(0)
+    assert set(splits) == tags == {"day", "night"}
+    overall = tr.validate(0, viz=False)
+    total = sum(m["count"] for m in splits.values())
+    assert total == overall["count"] == 24  # padding never double-counts
+    for m in splits.values():
+        assert np.isfinite(m["rmse"]) and m["rmse"] > 0
+    tr.close()
+
+
+@pytest.mark.slow
+def test_train_convergence_sharded(tmp_path):
+    """Multi-epoch convergence on the 8-device mesh (SURVEY.md §4 items 4-5;
+    VERDICT r1 #8): the sharded training step must actually LEARN — train loss
+    decreases across epochs — and the checkpoint manager must mark the
+    best-val-RMSE epoch as best (reference model_best semantics)."""
+    import csv
+
+    from radar_depth_tpu.train import checkpoint as ckpt_lib
+    from radar_depth_tpu.train.loop import Trainer
+
+    assert jax.device_count() == 8
+    cfg = tiny_config(tmp_path, epochs=3)
+    tr = Trainer(cfg)
+    tr.maybe_resume()
+    losses, val_rmses = [], []
+    for epoch in range(cfg.epochs):
+        train_m = tr.train_epoch(epoch)
+        val_m = tr.validate(epoch, viz=False)
+        tr.ckpt.save(epoch, jax.tree_util.tree_map(np.asarray, tr.state), val_m)
+        losses.append(train_m["loss"])
+        val_rmses.append(val_m["rmse"])
+    best_step = tr.ckpt.best_step()
+    tr.close()
+
+    # Learning: strictly decreasing epoch losses on the deterministic
+    # synthetic set (seeded; same assertion holds run-to-run by jit purity).
+    assert losses[1] < losses[0] and losses[2] < losses[1], losses
+    assert losses[2] < 0.8 * losses[0], f"barely learned: {losses}"
+    # Best-checkpoint selection matches argmin of the recorded val RMSEs.
+    assert best_step == int(np.argmin(val_rmses)), (best_step, val_rmses)
+
+
 def test_checkpoint_keeps_latest_and_best(tmp_path):
     """Latest epoch must survive preservation even when it is not among the
     best-N by RMSE, or --resume silently rewinds and re-trains epochs
