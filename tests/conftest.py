@@ -19,5 +19,8 @@ jax.config.update("jax_enable_x64", False)
 _cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                       ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Cache EVERYTHING: suite time is dominated by hundreds of small eager-op
+# and medium jit compiles (10-300 ms each) that a 1 s write threshold never
+# persists — with 0.0 the second run loads them all from disk.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
