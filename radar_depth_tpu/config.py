@@ -77,6 +77,9 @@ class TrainConfig:
     optim: OptimConfig = OptimConfig()
     augment: AugmentConfig = AugmentConfig()
     batch_size: int = 8
+    # Val-pass batch size (0 = same as batch_size). Eval has no optimizer
+    # memory, so larger batches amortize dispatch overhead (NOTES.md).
+    eval_batch_size: int = 0
     epochs: int = 15
     seed: int = 42
     output_dir: str = "runs/default"
@@ -105,6 +108,8 @@ def parse_command(argv=None) -> TrainConfig:
     p.add_argument("--decoder", default="upproj", choices=list(DECODER_KINDS))
     p.add_argument("-c", "--criterion", default="l1", choices=["l1", "l2"])
     p.add_argument("-b", "--batch-size", type=int, default=8)
+    p.add_argument("--eval-batch-size", type=int, default=0,
+                   help="val-pass batch size (0 = same as --batch-size)")
     p.add_argument("--epochs", type=int, default=15)
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--momentum", type=float, default=0.9)
@@ -181,7 +186,8 @@ def parse_command(argv=None) -> TrainConfig:
             criterion=a.criterion,
         ),
         augment=AugmentConfig(enabled=not a.no_augment),
-        batch_size=a.batch_size, epochs=a.epochs, seed=a.seed,
+        batch_size=a.batch_size, eval_batch_size=a.eval_batch_size,
+        epochs=a.epochs, seed=a.seed,
         output_dir=a.output_dir, resume=a.resume, evaluate=a.evaluate,
         print_freq=a.print_freq, tensorboard=a.tensorboard,
         metric_avg=a.metric_avg, eval_splits=a.eval_splits,

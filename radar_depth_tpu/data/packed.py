@@ -95,6 +95,7 @@ def write_shard(path: str, samples, spec: Optional[schema.SampleSpec] = None,
     """
     samples = list(samples)
     assert samples, "empty shard"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     if tags is not None:
         tags = list(tags)
         assert len(tags) == len(samples), (len(tags), len(samples))

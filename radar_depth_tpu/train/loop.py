@@ -330,10 +330,11 @@ class Trainer:
         t0 = time.perf_counter()
         wall_t0, total_data, nsteps = t0, 0.0, 0
         viz_outs = []  # async device results; fetched once at the end
-        for i, batch in enumerate(iterate_batches(self.val_ds, cfg.batch_size,
+        ebs = cfg.eval_batch_size or cfg.batch_size
+        for i, batch in enumerate(iterate_batches(self.val_ds, ebs,
                                                   False, 0, drop_last=False,
                                                   indices=indices)):
-            batch, _ = pad_batch_to(batch, cfg.batch_size)
+            batch, _ = pad_batch_to(batch, ebs)
             batch = shard_batch(batch, self.mesh)
             t1 = time.perf_counter()
             step_sums = self._eval_step(self.state.params, self.state.batch_stats,

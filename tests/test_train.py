@@ -158,6 +158,15 @@ def test_validate_splits_day_night(tmp_path):
     assert total == overall["count"] == 24  # padding never double-counts
     for m in splits.values():
         assert np.isfinite(m["rmse"]) and m["rmse"] > 0
+
+    # --eval-batch-size: a bigger val batch (amortizes dispatch) must not
+    # change the metrics — per-sample averaging is batch-size invariant.
+    import dataclasses
+
+    tr.cfg = dataclasses.replace(cfg, eval_batch_size=16)
+    m2 = tr.validate(0, viz=False)
+    assert m2["count"] == overall["count"]
+    np.testing.assert_allclose(m2["rmse"], overall["rmse"], rtol=1e-5)
     tr.close()
 
 
