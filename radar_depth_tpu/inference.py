@@ -100,6 +100,25 @@ class Predictor:
         pred, _ = self._infer(self.params, self.batch_stats, batch)
         return np.asarray(pred)
 
+    def predict_stream(self, batches, depth: int = 2):
+        """Pipelined streaming inference: yields (B, H, W) depth maps for an
+        iterator of raw batches while keeping up to ``depth`` dispatches in
+        flight, so host upload of batch i+1 overlaps device compute of batch
+        i (steady-state serving loop; dispatches are async in JAX, the fetch
+        is the only sync point)."""
+        from collections import deque
+
+        inflight: deque = deque()
+        for batch in batches:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            inflight.append(self._infer(self.params, self.batch_stats, batch))
+            if len(inflight) >= depth:
+                pred, _ = inflight.popleft()
+                yield np.asarray(pred)
+        while inflight:
+            pred, _ = inflight.popleft()
+            yield np.asarray(pred)
+
     def evaluate(self, batch: Dict) -> Dict[str, float]:
         """Raw schema batch → reference Result-style metrics dict."""
         batch = {k: jnp.asarray(v) for k, v in batch.items()}

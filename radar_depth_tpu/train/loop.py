@@ -74,6 +74,14 @@ class Trainer:
     def __init__(self, cfg: TrainConfig):
         self.cfg = cfg
         self.mesh = make_mesh()
+        n_dev = self.mesh.devices.size
+        for name, bs in (("batch_size", cfg.batch_size),
+                         ("eval_batch_size", cfg.eval_batch_size)):
+            if bs and bs % n_dev != 0:
+                raise ValueError(
+                    f"{name}={bs} is not divisible by the {n_dev}-device "
+                    f"data mesh — pick a multiple of {n_dev} (GSPMD shards "
+                    f"the leading batch axis evenly across chips)")
         self.model, self.arch_spec = create_model(
             cfg.model.arch,
             modality=cfg.model.modality,

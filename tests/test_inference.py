@@ -38,3 +38,11 @@ def test_predictor_from_run(tmp_path):
     metrics = p.evaluate(batch)
     assert metrics["count"] == 4
     assert np.isfinite(metrics["rmse"]) and metrics["rmse"] > 0
+
+    # streaming API: pipelined results identical to one-shot predict
+    ds = SyntheticNuScenes(12, spec=cfg.data.sample_spec(), seed=6)
+    stream_batches = [ds.batch(range(i, i + 4)) for i in (0, 4, 8)]
+    got = list(p.predict_stream(iter(stream_batches)))
+    assert len(got) == 3
+    for b, out in zip(stream_batches, got):
+        np.testing.assert_array_equal(out, p.predict(b))
