@@ -80,6 +80,9 @@ class TrainConfig:
     # Val-pass batch size (0 = same as batch_size). Eval has no optimizer
     # memory, so larger batches amortize dispatch overhead (NOTES.md).
     eval_batch_size: int = 0
+    # Native-loader prefetch threads (reference DataLoader num_workers;
+    # 0 = default 4). Augmentation runs in these threads (SURVEY.md §3.1).
+    workers: int = 0
     epochs: int = 15
     seed: int = 42
     output_dir: str = "runs/default"
@@ -115,8 +118,8 @@ def parse_command(argv=None) -> TrainConfig:
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--weight-decay", type=float, default=1e-4)
     p.add_argument("--workers", type=int, default=0,
-                   help="accepted for reference-recipe compat; host loading "
-                        "is batched+native here, so unused")
+                   help="native-loader prefetch threads (the reference's "
+                        "DataLoader num_workers; 0 = default 4)")
     p.add_argument("--resume", default="", metavar="CKPT")
     p.add_argument("--evaluate", default="", metavar="CKPT")
     p.add_argument("--output-dir", default="runs/default")
@@ -187,7 +190,7 @@ def parse_command(argv=None) -> TrainConfig:
         ),
         augment=AugmentConfig(enabled=not a.no_augment),
         batch_size=a.batch_size, eval_batch_size=a.eval_batch_size,
-        epochs=a.epochs, seed=a.seed,
+        workers=a.workers, epochs=a.epochs, seed=a.seed,
         output_dir=a.output_dir, resume=a.resume, evaluate=a.evaluate,
         print_freq=a.print_freq, tensorboard=a.tensorboard,
         metric_avg=a.metric_avg, eval_splits=a.eval_splits,

@@ -260,7 +260,8 @@ class Trainer:
             if getattr(self, "_native_loader", None) is None:
                 self._native_loader = packed_mod.NativeBatchLoader(
                     self.train_ds, cfg.batch_size, shuffle=True,
-                    seed=cfg.seed, queue_depth=4, threads=4,
+                    seed=cfg.seed, queue_depth=4,
+                    threads=cfg.workers or 4,
                     augment=cfg.augment if self._host_augment else None)
             steps = len(self.train_ds) // cfg.batch_size
             for _ in range(steps):

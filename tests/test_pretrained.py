@@ -59,7 +59,8 @@ def test_cli_flags_roundtrip():
     cfg = parse_command([
         "--arch", "resnet18", "--modality", "d", "--sparsifier", "uar",
         "--num-samples", "321", "--no-augment", "-c", "l2", "-b", "4",
-        "--height-extension", "2",
+        "--height-extension", "2", "--workers", "6",
+        "--eval-batch-size", "16", "--metric-avg", "batch", "--eval-splits",
     ])
     assert cfg.data.sparsifier == "uar"
     assert cfg.data.num_samples == 321
@@ -67,6 +68,10 @@ def test_cli_flags_roundtrip():
     assert cfg.optim.criterion == "l2"
     assert cfg.batch_size == 4
     assert cfg.data.height_extension == 2
+    assert cfg.workers == 6
+    assert cfg.eval_batch_size == 16
+    assert cfg.metric_avg == "batch"
+    assert cfg.eval_splits
 
 
 def test_sparsifier_path_feeds_model(tmp_path):
