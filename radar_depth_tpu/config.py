@@ -79,6 +79,11 @@ class TrainConfig:
     batch_size: int = 8
     # Val-pass batch size (0 = same as batch_size). Eval has no optimizer
     # memory, so larger batches amortize dispatch overhead (NOTES.md).
+    # CAVEAT: with --metric-avg batch the pooling granularity IS the loop
+    # batch (reference Result.evaluate semantics), so changing this changes
+    # the reported rmse/irmse slightly; keep it at the reference batch size
+    # when comparing AverageMeter numbers. --metric-avg sample (default) is
+    # batch-size invariant.
     eval_batch_size: int = 0
     # Native-loader prefetch threads (reference DataLoader num_workers;
     # 0 = default 4). Augmentation runs in these threads (SURVEY.md §3.1).

@@ -99,10 +99,6 @@ def write_shard(path: str, samples, spec: Optional[schema.SampleSpec] = None,
     if tags is not None:
         tags = list(tags)
         assert len(tags) == len(samples), (len(tags), len(samples))
-        import json
-
-        with open(path + ".tags.json", "w") as f:
-            json.dump(tags, f)
     fields = [(k, np.asarray(samples[0][k]).dtype,
                tuple(np.asarray(samples[0][k]).shape))
               for k in schema.SAMPLE_KEYS]
@@ -118,6 +114,17 @@ def write_shard(path: str, samples, spec: Optional[schema.SampleSpec] = None,
                 arr = np.ascontiguousarray(np.asarray(s[k], dtype=dt))
                 rec[off: off + nbytes] = arr.tobytes()
             f.write(rec)
+    # Sidecar last (never next to a half-written shard), and a tag-less
+    # rewrite must remove any stale sidecar from a previous write — a stale
+    # tags.json with a matching length would silently mislabel every sample.
+    sidecar = path + ".tags.json"
+    if tags is not None:
+        import json
+
+        with open(sidecar, "w") as f:
+            json.dump(tags, f)
+    elif os.path.exists(sidecar):
+        os.remove(sidecar)
 
 
 # ---------------------------------------------------------------- native lib
@@ -269,6 +276,13 @@ class PackedDataset:
                     t = json.load(f)
                 if len(t) == self._n:
                     self._tags = t
+                else:
+                    import warnings
+
+                    warnings.warn(
+                        f"{sidecar}: {len(t)} tags != {self._n} samples — "
+                        "ignoring stale sidecar (rewrite the shard with "
+                        "write_shard(tags=...))")
         return self._tags
 
     def sample_tag(self, index: int) -> str:

@@ -116,16 +116,12 @@ def points_to_linear(
     height: int, width: int, min_depth: float, max_depth: float,
 ) -> tuple:
     """Shared front half of rasterization: floor-bin + bounds/range filter →
-    (lin, z) ready for either the XLA scatter path or the pallas kernel."""
-    u = jnp.floor(uv[..., 0]).astype(jnp.int32)
-    v = jnp.floor(uv[..., 1]).astype(jnp.int32)
-    ok = (
-        valid
-        & (u >= 0) & (u < width) & (v >= 0) & (v < height)
-        & (z > min_depth) & (z < max_depth)
-    )
-    lin = jnp.where(ok, v * width + u, -1)
-    zf = jnp.where(ok, z, jnp.inf).astype(jnp.float32)
+    (lin, z) ready for the broadcast kernel (invalid → -1). Binning rule
+    lives in ops.raster.bin_points, shared with every backend."""
+    from radar_depth_tpu.ops.raster import bin_points
+
+    lin, zf, _ = bin_points(uv, z, valid, height, width, min_depth, max_depth,
+                            invalid_lin=-1)
     return lin, zf
 
 

@@ -61,6 +61,20 @@ class PreprocessConfig:
     #             min-combiner update loop).
     raster_backend: str = "sorted"
 
+    def __post_init__(self):
+        if self.raster_backend not in ("sorted", "scatter"):
+            raise ValueError(
+                f"raster_backend={self.raster_backend!r}: expected 'sorted' "
+                "or 'scatter'")
+        if self.gt_augment not in ("warp", "rerasterize"):
+            raise ValueError(
+                f"gt_augment={self.gt_augment!r}: expected 'warp' or "
+                "'rerasterize'")
+        if self.sparsifier not in ("none", "uar", "sim_stereo"):
+            raise ValueError(
+                f"sparsifier={self.sparsifier!r}: expected 'none', 'uar' or "
+                "'sim_stereo'")
+
 
 def _radar_uvz(batch: Dict, spec: SampleSpec):
     """Accumulated multi-sweep radar → projected (uv, z, valid)."""

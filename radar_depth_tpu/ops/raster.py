@@ -25,6 +25,36 @@ from radar_depth_tpu.ops.geometry import project_points, se3_apply
 _INF = jnp.inf
 
 
+def bin_points(
+    uv: jax.Array,
+    z: jax.Array,
+    valid: jax.Array,
+    height: int,
+    width: int,
+    min_depth: float,
+    max_depth: float,
+    invalid_lin: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Floor-bin + bounds/depth-range filter shared by EVERY raster backend
+    (scatter, sorted-XLA, both Pallas kernels) so the binning rule — int32
+    floor, half-open [0,width)×[0,height) bounds, open (min,max) depth — can
+    never drift between the paths that tests assert are bit-identical.
+
+    Returns (lin, zf, ok): linear pixel index with ``invalid_lin`` for
+    dropped points, float32 depth with +inf for dropped points, keep-mask.
+    """
+    u = jnp.floor(uv[..., 0]).astype(jnp.int32)
+    v = jnp.floor(uv[..., 1]).astype(jnp.int32)
+    ok = (
+        valid
+        & (u >= 0) & (u < width) & (v >= 0) & (v < height)
+        & (z > min_depth) & (z < max_depth)
+    )
+    lin = jnp.where(ok, v * width + u, jnp.int32(invalid_lin))
+    zf = jnp.where(ok, z, _INF).astype(jnp.float32)
+    return lin, zf, ok
+
+
 def _rasterize_single(
     uv: jax.Array,
     z: jax.Array,
@@ -35,14 +65,9 @@ def _rasterize_single(
     max_depth: float,
 ) -> jax.Array:
     """Scatter-min z-buffer for one image. uv: (P, 2), z: (P,), valid: (P,)."""
-    u = jnp.floor(uv[..., 0]).astype(jnp.int32)
-    v = jnp.floor(uv[..., 1]).astype(jnp.int32)
-    in_bounds = (u >= 0) & (u < width) & (v >= 0) & (v < height)
-    in_range = (z > min_depth) & (z < max_depth)
-    ok = valid & in_bounds & in_range
-    # Route invalid points to a dummy bin one past the end of the buffer.
-    lin = jnp.where(ok, v * width + u, height * width)
-    zval = jnp.where(ok, z, _INF).astype(jnp.float32)
+    # Invalid points route to a dummy bin one past the end of the buffer.
+    lin, zval, _ = bin_points(uv, z, valid, height, width, min_depth,
+                              max_depth, invalid_lin=height * width)
     buf = jnp.full((height * width + 1,), _INF, dtype=jnp.float32)
     buf = buf.at[lin].min(zval, mode="drop")
     depth = buf[: height * width].reshape(height, width)
@@ -207,16 +232,8 @@ def sort_points_by_pixel(
     Returns (lin_sorted, z_sorted), each (..., P). Pure data-parallel XLA
     (lax.sort is a parallel bitonic network on TPU — no serialization).
     """
-    u = jnp.floor(uv[..., 0]).astype(jnp.int32)
-    v = jnp.floor(uv[..., 1]).astype(jnp.int32)
-    ok = (
-        valid
-        & (u >= 0) & (u < width) & (v >= 0) & (v < height)
-        & (z > min_depth) & (z < max_depth)
-    )
-    sentinel = jnp.int32(1 << 30)
-    lin = jnp.where(ok, v * width + u, sentinel)
-    zf = jnp.where(ok, z, _INF).astype(jnp.float32)
+    lin, zf, _ = bin_points(uv, z, valid, height, width, min_depth, max_depth,
+                            invalid_lin=1 << 30)
     return jax.lax.sort_key_val(lin, zf, dimension=-1)
 
 
@@ -238,16 +255,9 @@ def rasterize_min_depth_sorted_xla(
     so a single `set`-scatter with ``unique_indices=True`` finishes the map.
     Same contract as :func:`rasterize_min_depth` (VERDICT r1 #6 exploration).
     """
-    u = jnp.floor(uv[..., 0]).astype(jnp.int32)
-    v = jnp.floor(uv[..., 1]).astype(jnp.int32)
-    ok = (
-        valid
-        & (u >= 0) & (u < width) & (v >= 0) & (v < height)
-        & (z > min_depth) & (z < max_depth)
-    )
     hw = height * width
-    lin = jnp.where(ok, v * width + u, hw)
-    zf = jnp.where(ok, z, _INF).astype(jnp.float32)
+    lin, zf, _ = bin_points(uv, z, valid, height, width, min_depth, max_depth,
+                            invalid_lin=hw)
     # two-key lexicographic sort: by pixel, then by depth within a pixel
     lin_s, z_s = jax.lax.sort((lin, zf), dimension=-1, num_keys=2)
 

@@ -82,6 +82,12 @@ class Trainer:
                     f"{name}={bs} is not divisible by the {n_dev}-device "
                     f"data mesh — pick a multiple of {n_dev} (GSPMD shards "
                     f"the leading batch axis evenly across chips)")
+        if (cfg.metric_avg == "batch"
+                and cfg.eval_batch_size not in (0, cfg.batch_size)):
+            print("note: --metric-avg batch pools metrics per loop batch "
+                  f"(reference Result.evaluate), so --eval-batch-size "
+                  f"{cfg.eval_batch_size} != {cfg.batch_size} shifts "
+                  "rmse/irmse vs reference-batch-size numbers")
         self.model, self.arch_spec = create_model(
             cfg.model.arch,
             modality=cfg.model.modality,
@@ -378,7 +384,13 @@ class Trainer:
         """Per-split evaluation (SURVEY.md §6: the paper reports day/night
         separately). Splits come from the dataset's sample_tag(i) — synthetic
         scenes carry a deterministic day/night attribute; packed shards read a
-        tags.json sidecar. Returns {tag: metrics}."""
+        tags.json sidecar. Returns {tag: metrics}.
+
+        Each split is a separate sharded eval pass (samples are forwarded
+        once per split, in addition to any whole-set validate the caller
+        ran). That duplication is deliberate: per-split metrics at the same
+        pooling granularity as a dedicated run, for an opt-in diagnostic
+        path where clarity beats the extra eval cost."""
         tag_fn = getattr(self.val_ds, "sample_tag", None)
         if tag_fn is None:
             return {}

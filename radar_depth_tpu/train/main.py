@@ -21,7 +21,12 @@ def main(argv=None) -> int:
         metrics = trainer.validate(epoch=0)
         print("validation:", {k: round(v, 4) for k, v in metrics.items()})
         if cfg.eval_splits:
-            for tag, m in trainer.validate_splits(epoch=0).items():
+            splits = trainer.validate_splits(epoch=0)
+            if not splits:
+                print("--eval-splits: val dataset carries no (or only one) "
+                      "split tag — packed shards need a tags.json sidecar "
+                      "(write_shard(tags=...)); nothing to report")
+            for tag, m in splits.items():
                 print(f"validation[{tag}]:",
                       {k: round(v, 4) for k, v in m.items()})
         return 0

@@ -12,7 +12,6 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -30,19 +29,10 @@ def main():
 
     dn = ("NHWC", "HWIO", "NHWC")
 
+    from scripts.bench_util import pipelined_timer
+
     def bench(fn, *xs):
-        @jax.jit
-        def run(*xs):
-            def body(c, _):
-                out = fn(*[x + c.astype(x.dtype) * 1e-30 for x in xs])
-                return c + out.astype(jnp.float32).ravel()[0], ()
-            c, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
-                                length=args.iters)
-            return c
-        float(run(*xs))
-        t0 = time.perf_counter()
-        float(run(*xs))
-        return (time.perf_counter() - t0) / args.iters
+        return pipelined_timer(fn, xs, iters=args.iters)
 
     rng = np.random.default_rng(0)
     b = args.batch

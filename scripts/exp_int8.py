@@ -10,7 +10,6 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -25,19 +24,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from scripts.bench_util import pipelined_timer
+
     def bench(fn, *xs):
-        @jax.jit
-        def run(*xs):
-            def body(c, _):
-                out = fn(*xs, c)
-                return c + out.astype(jnp.float32).ravel()[0], ()
-            c, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
-                                length=args.iters)
-            return c
-        float(run(*xs))
-        t0 = time.perf_counter()
-        float(run(*xs))
-        return (time.perf_counter() - t0) / args.iters
+        return pipelined_timer(fn, xs, iters=args.iters)
 
     rng = np.random.default_rng(0)
     dn = ("NHWC", "HWIO", "NHWC")
@@ -50,14 +40,12 @@ def main():
         xb = x8.astype(jnp.bfloat16)
         kb = k8.astype(jnp.bfloat16)
 
-        def conv_i8(x, k, c0):
-            x = x + c0.astype(jnp.int8)
+        def conv_i8(x, k):
             return jax.lax.conv_general_dilated(
                 x, k, (1, 1), "SAME", dimension_numbers=dn,
                 preferred_element_type=jnp.int32)
 
-        def conv_bf(x, k, c0):
-            x = x + c0.astype(jnp.bfloat16)
+        def conv_bf(x, k):
             return jax.lax.conv_general_dilated(
                 x, k, (1, 1), "SAME", dimension_numbers=dn)
 
@@ -78,12 +66,11 @@ def main():
         ab = a8.astype(jnp.bfloat16)
         bb = b8.astype(jnp.bfloat16)
 
-        def mm_i8(a, b, c0):
-            return jax.lax.dot(a + c0.astype(jnp.int8), b,
-                               preferred_element_type=jnp.int32)
+        def mm_i8(a, b):
+            return jax.lax.dot(a, b, preferred_element_type=jnp.int32)
 
-        def mm_bf(a, b, c0):
-            return jax.lax.dot(a + c0.astype(jnp.bfloat16), b)
+        def mm_bf(a, b):
+            return jax.lax.dot(a, b)
 
         flops = 2 * n**3
         try:

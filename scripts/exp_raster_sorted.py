@@ -15,7 +15,6 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -75,20 +74,10 @@ def main():
             out.append(("pallas_broadcast", pallas_broadcast))
         return out
 
-    def bench(fn, uv, z, valid):
-        @jax.jit
-        def run(uv, z, valid):
-            def body(carry, _):
-                out = fn(uv + carry * 1e-30, z, valid)
-                return carry + jnp.sum(out[..., :1, :1]), ()
-            c, _ = jax.lax.scan(body, jnp.zeros(()), None, length=args.iters)
-            return c
+    from scripts.bench_util import pipelined_timer
 
-        c = float(run(uv, z, valid))  # compile + warm
-        assert np.isfinite(c)
-        t0 = time.perf_counter()
-        float(run(uv, z, valid))
-        return (time.perf_counter() - t0) / args.iters
+    def bench(fn, uv, z, valid):
+        return pipelined_timer(fn, (uv, z, valid), iters=args.iters)
 
     rng = np.random.default_rng(0)
     print(f"backend={jax.default_backend()} interpret={interpret} "

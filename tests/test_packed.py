@@ -54,6 +54,11 @@ def test_tags_sidecar_roundtrip(tmp_path):
     packed.write_shard(path2, [ds[i] for i in range(3)])
     r2 = packed.PackedDataset(path2, use_native=False)
     assert r2.tags is None and r2.sample_tag(0) == "all"
+    # tag-less REWRITE of a tagged shard must remove the stale sidecar — a
+    # leftover tags.json of matching length would silently mislabel samples
+    packed.write_shard(path, [ds[i] for i in range(6)])
+    r3 = packed.PackedDataset(path, use_native=False)
+    assert r3.tags is None
 
 
 def test_native_reader_matches_python(shard):
