@@ -44,3 +44,31 @@ def test_eval_metrics_match_across_mesh_sizes():
     for k in results[0]:
         np.testing.assert_allclose(results[0][k], results[1][k], rtol=2e-5,
                                    err_msg=k)
+
+
+def test_batch_convention_metrics_match_across_mesh_sizes():
+    """convention='batch' pools pixels across the WHOLE (global) batch — the
+    pooled sums must psum across shards so an 8-device mesh reports the same
+    AverageMeter-weighted metrics as a single device."""
+    import dataclasses
+
+    from radar_depth_tpu.metrics import compute_metric_sums
+
+    rng = np.random.default_rng(4)
+    pred = rng.uniform(1, 60, size=(8, 16, 24, 1)).astype(np.float32)
+    target = rng.uniform(1, 60, size=(8, 16, 24, 1)).astype(np.float32)
+    target[rng.uniform(size=target.shape) < 0.6] = 0.0
+
+    results = []
+    for ndev in (1, 8):
+        mesh = make_mesh(jax.devices()[:ndev])
+        fn = jax.jit(
+            lambda p, t: compute_metric_sums(p, t, convention="batch"),
+            in_shardings=(batch_sharding(mesh),) * 2,
+            out_shardings=replicated_sharding(mesh))
+        b = shard_batch({"p": pred, "t": target}, mesh)
+        results.append(jax.tree_util.tree_map(
+            np.asarray, fn(b["p"], b["t"])))
+    for k in results[0]:
+        np.testing.assert_allclose(results[0][k], results[1][k], rtol=2e-5,
+                                   err_msg=k)
