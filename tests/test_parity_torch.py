@@ -103,6 +103,62 @@ def test_multistage_parity():
                                atol=2e-4, rtol=1e-3)
 
 
+def test_gradient_parity():
+    """Backward parity: d(masked L1 loss)/d(params) through the full
+    encoder-decoder must match torch autograd with converted weights
+    (eval-mode BN so running stats — not batch stats — feed both backward
+    passes). Forward parity alone would not catch transposed-conv/unpool
+    gradient mismatches (SURVEY.md §7 hard part #4)."""
+    import torch.nn.functional as tF
+
+    from radar_depth_tpu.objectives import masked_l1_loss
+    from radar_depth_tpu.utils.torch_convert import variables_to_torch_state_dict
+
+    torch.manual_seed(4)
+    (rgb, radar), (trgb, tradar) = _inputs()
+    rgbd = np.concatenate([rgb, radar], axis=-1)
+    trgbd = torch.cat([trgb, tradar], dim=1)
+    target = RNG.uniform(1, 70, size=(2, *OUT, 1)).astype(np.float32)
+    target[RNG.uniform(size=target.shape) < 0.7] = 0.0
+    ttarget = torch.from_numpy(target.transpose(0, 3, 1, 2))
+
+    tmodel = TorchDepthNet(18, 4, "upproj", OUT)
+    _warm_bn(tmodel, (trgbd,))
+    tmodel.eval()
+    pred_t = tmodel(trgbd)
+    mask = ttarget > 0
+    loss_t = (pred_t - ttarget)[mask].abs().mean()
+    loss_t.backward()
+    tgrads = {k: p.grad.detach().numpy() for k, p in tmodel.named_parameters()
+              if p.grad is not None}
+
+    model, _ = create_model("resnet18", modality="rgbd", decoder="upproj",
+                            output_size=OUT)
+    template = model.init(jax.random.PRNGKey(0), jnp.asarray(rgbd), train=False)
+    variables = torch_state_dict_to_variables(tmodel.state_dict(), template)
+
+    def loss_fn(params):
+        pred = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            jnp.asarray(rgbd), train=False)
+        return masked_l1_loss(pred, jnp.asarray(target))
+
+    loss_j, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    np.testing.assert_allclose(float(loss_j), float(loss_t.detach()),
+                               rtol=1e-5)
+    # convert the grad pytree to torch naming and compare tensor-for-tensor
+    sd = variables_to_torch_state_dict(
+        {"params": grads, "batch_stats": variables["batch_stats"]})
+    compared = 0
+    for k, want in tgrads.items():
+        got = sd[k]
+        np.testing.assert_allclose(
+            got, want, atol=2e-5, rtol=1e-3,
+            err_msg=f"grad mismatch for {k}")
+        compared += 1
+    assert compared == len(tgrads) and compared > 50
+
+
 def test_roundtrip_conversion():
     """jax → torch → jax is the identity."""
     model, _ = create_model("resnet18", modality="rgb", decoder="deconv2",
