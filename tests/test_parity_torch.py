@@ -159,6 +159,52 @@ def test_gradient_parity():
     assert compared == len(tgrads) and compared > 50
 
 
+def test_gradient_parity_multistage():
+    """Backward parity through the FULL two-stage graph: multistage masked-L1
+    (sum of stage losses), radar filter with detached/stop-gradient coarse —
+    the flagship training path's gradients match torch autograd."""
+    from radar_depth_tpu.objectives import multistage_loss
+    from radar_depth_tpu.utils.torch_convert import variables_to_torch_state_dict
+
+    torch.manual_seed(5)
+    (rgb, radar), (trgb, tradar) = _inputs()
+    target = RNG.uniform(1, 70, size=(2, *OUT, 1)).astype(np.float32)
+    target[RNG.uniform(size=target.shape) < 0.7] = 0.0
+    ttarget = torch.from_numpy(target.transpose(0, 3, 1, 2))
+
+    tmodel = TorchMultiStageNet(18, "upproj", OUT, abs_threshold=2.0)
+    _warm_bn(tmodel, (trgb, tradar))
+    tmodel.eval()
+    coarse_t, refined_t = tmodel(trgb, tradar)
+    mask = ttarget > 0
+    loss_t = ((coarse_t - ttarget)[mask].abs().mean()
+              + (refined_t - ttarget)[mask].abs().mean())
+    loss_t.backward()
+    tgrads = {k: p.grad.detach().numpy() for k, p in tmodel.named_parameters()
+              if p.grad is not None}
+
+    model, _ = create_model("resnet18_multistage", decoder="upproj",
+                            output_size=OUT)
+    template = model.init(jax.random.PRNGKey(0), jnp.asarray(rgb),
+                          jnp.asarray(radar), train=False)
+    variables = torch_state_dict_to_variables(tmodel.state_dict(), template)
+
+    def loss_fn(params):
+        out = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            jnp.asarray(rgb), jnp.asarray(radar), train=False)
+        return multistage_loss(out, jnp.asarray(target), "l1", (1.0, 1.0))
+
+    loss_j, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    np.testing.assert_allclose(float(loss_j), float(loss_t.detach()),
+                               rtol=1e-5)
+    sd = variables_to_torch_state_dict(
+        {"params": grads, "batch_stats": variables["batch_stats"]})
+    for k, want in tgrads.items():
+        np.testing.assert_allclose(sd[k], want, atol=3e-5, rtol=1e-3,
+                                   err_msg=f"grad mismatch for {k}")
+
+
 def test_roundtrip_conversion():
     """jax → torch → jax is the identity."""
     model, _ = create_model("resnet18", modality="rgb", decoder="deconv2",
