@@ -203,6 +203,39 @@ def test_train_convergence_sharded(tmp_path):
     assert best_step == int(np.argmin(val_rmses)), (best_step, val_rmses)
 
 
+@pytest.mark.slow
+def test_resume_bitwise_equals_uninterrupted(tmp_path):
+    """Checkpoint/resume exactness (SURVEY.md §5 C10): training 2 epochs
+    straight must equal 1 epoch + checkpoint + restart-with---resume + 1
+    epoch, bitwise in the final val metrics — catches optimizer-state, key-
+    threading, or shuffle-order drift across the resume boundary."""
+    from radar_depth_tpu.train.loop import Trainer
+
+    cfg_a = tiny_config(tmp_path / "straight", epochs=2)
+    tr_a = Trainer(cfg_a)
+    tr_a.fit()
+
+    cfg_b1 = tiny_config(tmp_path / "interrupted", epochs=1)
+    Trainer(cfg_b1).fit()
+    cfg_b2 = tiny_config(tmp_path / "interrupted", epochs=2)
+    cfg_b2 = TrainConfig(**{**cfg_b2.__dict__,
+                            "resume": str(tmp_path / "interrupted")})
+    tr_b = Trainer(cfg_b2)
+    tr_b.fit()
+
+    import csv
+
+    def last_row(run):
+        with open(os.path.join(str(run), "test.csv")) as f:
+            return list(csv.DictReader(f))[-1]
+
+    row_a, row_b = last_row(tmp_path / "straight"), last_row(
+        tmp_path / "interrupted")
+    assert row_a["epoch"] == row_b["epoch"] == "1"
+    for k in ("mse", "rmse", "mae", "absrel", "delta1"):
+        assert row_a[k] == row_b[k], (k, row_a[k], row_b[k])
+
+
 def test_checkpoint_keeps_latest_and_best(tmp_path):
     """Latest epoch must survive preservation even when it is not among the
     best-N by RMSE, or --resume silently rewinds and re-trains epochs
