@@ -50,3 +50,20 @@ def test_viz_panel(tmp_path):
     assert panel.shape == (2 * h, 4 * w, 3)
     save_image(panel, str(tmp_path / "p.png"))
     assert os.path.getsize(tmp_path / "p.png") > 0
+
+
+def test_tensorboard_logger(tmp_path):
+    """Optional TB logging writes event files when tensorflow is present and
+    degrades to a no-op otherwise (SURVEY.md §5 addition)."""
+    from radar_depth_tpu.utils.tboard import TensorBoardLogger
+
+    tb = TensorBoardLogger(str(tmp_path))
+    tb.log("train", 0, {"rmse": 1.25, "loss": 0.5, "skipme": "str"})
+    tb.log("val", 0, {"rmse": 1.5})
+    tb.close()
+    try:
+        import tensorflow  # noqa: F401
+    except Exception:
+        return  # no-op path exercised
+    files = list(tmp_path.glob("events.out.tfevents.*"))
+    assert files and files[0].stat().st_size > 0
