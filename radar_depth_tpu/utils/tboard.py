@@ -3,7 +3,7 @@ TensorBoard is an addition, gated on tensorflow being importable)."""
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 
 class TensorBoardLogger:

@@ -8,7 +8,6 @@ import sys
 import pytest
 
 import jax
-import numpy as np
 
 
 def test_bench_main_prints_json(capsys, monkeypatch):

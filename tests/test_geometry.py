@@ -8,7 +8,6 @@ from radar_depth_tpu.ops import (
     se3_apply,
     se3_compose,
     se3_from_quat_trans,
-    se3_from_rot_trans,
     se3_inverse,
     project_points,
     camera_chain,

@@ -100,7 +100,6 @@ def test_native_batch_loader_covers_epoch(shard):
 
 def test_trainer_with_packed_native_loader(tmp_path):
     """Training consumes packed shards through the native prefetch loader."""
-    import jax
     from radar_depth_tpu.config import (AugmentConfig, DataConfig, ModelConfig,
                                         OptimConfig, TrainConfig)
     from radar_depth_tpu.data.synthetic import SyntheticNuScenes

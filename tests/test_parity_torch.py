@@ -109,8 +109,6 @@ def test_gradient_parity():
     (eval-mode BN so running stats — not batch stats — feed both backward
     passes). Forward parity alone would not catch transposed-conv/unpool
     gradient mismatches (SURVEY.md §7 hard part #4)."""
-    import torch.nn.functional as tF
-
     from radar_depth_tpu.objectives import masked_l1_loss
     from radar_depth_tpu.utils.torch_convert import variables_to_torch_state_dict
 

@@ -6,7 +6,6 @@ import torch
 from radar_depth_tpu.config import parse_command
 from radar_depth_tpu.oracle.torch_model import Encoder
 from radar_depth_tpu.train.loop import Trainer
-from radar_depth_tpu.utils.torch_convert import graft_pretrained_encoders
 
 
 def _fake_torchvision_sd(depth=18):

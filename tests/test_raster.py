@@ -10,8 +10,6 @@ from radar_depth_tpu.ops import (
     radar_to_depth_map,
     extend_height,
     se3_from_quat_trans,
-    se3_apply,
-    se3_inverse,
 )
 from radar_depth_tpu.ops.raster import depth_map_to_points
 

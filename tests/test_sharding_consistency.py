@@ -50,8 +50,6 @@ def test_batch_convention_metrics_match_across_mesh_sizes():
     """convention='batch' pools pixels across the WHOLE (global) batch — the
     pooled sums must psum across shards so an 8-device mesh reports the same
     AverageMeter-weighted metrics as a single device."""
-    import dataclasses
-
     from radar_depth_tpu.metrics import compute_metric_sums
 
     rng = np.random.default_rng(4)

@@ -3,7 +3,6 @@ verification protocol"): must detect an empty mount, and against a populated
 mount must inventory files, flag missing expected components, and grep the
 [M]/[L] claims."""
 
-import os
 import sys
 
 from scripts import verify_reference
