@@ -32,6 +32,22 @@ from radar_depth_tpu.train.state import create_train_state, make_optimizer
 from radar_depth_tpu.train.step import init_model
 
 
+def load_serving(path: str):
+    """Load a serving artifact written by Predictor.export_serving. Returns a
+    callable: raw schema batch (dict of arrays, fixed batch size) → (B, H, W)
+    depth. The artifact embeds weights and the full preprocessing graph."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        exp = jexport.deserialize(f.read())
+
+    def serve(batch: Dict) -> np.ndarray:
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        return np.asarray(exp.call(batch))
+
+    return serve
+
+
 def _arch_kwargs(cfg: TrainConfig) -> Dict:
     """Arch-specific create_model kwargs, mirroring Trainer exactly so a run
     trained with non-default radar filtering (--filter-mode/--*-threshold) is
@@ -99,6 +115,37 @@ class Predictor:
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         pred, _ = self._infer(self.params, self.batch_stats, batch)
         return np.asarray(pred)
+
+    def export_serving(self, path: str, batch_size: int) -> int:
+        """Serialize the ENTIRE raw-batch → depth inference graph (fused
+        on-device preproc + two-stage forward, weights baked in) to a
+        StableHLO artifact via jax.export — deployable to a serving runtime
+        with no Python model code or checkpoint loading. Returns the
+        serialized byte count. Load with :func:`load_serving`.
+
+        TPU-native deployment story the reference lacks entirely (its serving
+        surface is `--evaluate` + pickled nn.Modules, SURVEY.md §3.2)."""
+        from jax import export as jexport
+
+        from radar_depth_tpu.data.schema import sample_dtypes, sample_shapes
+
+        spec = self.cfg.data.sample_spec()
+        shapes = sample_shapes(spec)
+        dtypes = sample_dtypes()
+        batch_spec = {
+            k: jax.ShapeDtypeStruct((batch_size,) + shapes[k], dtypes[k])
+            for k in shapes
+        }
+
+        def serve(batch):
+            pred, _ = self._infer_fn(self.params, self.batch_stats, batch)
+            return pred
+
+        exp = jexport.export(jax.jit(serve))(batch_spec)
+        blob = exp.serialize()
+        with open(path, "wb") as f:
+            f.write(blob)
+        return len(blob)
 
     def predict_stream(self, batches, depth: int = 2):
         """Pipelined streaming inference: yields (B, H, W) depth maps for an

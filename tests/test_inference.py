@@ -46,3 +46,14 @@ def test_predictor_from_run(tmp_path):
     assert len(got) == 3
     for b, out in zip(stream_batches, got):
         np.testing.assert_array_equal(out, p.predict(b))
+
+    # serving export: the StableHLO artifact (weights + preproc baked in)
+    # reproduces Predictor.predict without model code or checkpoints
+    from radar_depth_tpu.inference import load_serving
+
+    artifact = str(tmp_path / "serving.stablehlo")
+    nbytes = p.export_serving(artifact, batch_size=4)
+    assert nbytes > 1_000_000  # weights are embedded
+    serve = load_serving(artifact)
+    np.testing.assert_allclose(serve(batch), p.predict(batch),
+                               rtol=1e-6, atol=1e-6)
