@@ -10,6 +10,7 @@ without touching step functions.
 
 from radar_depth_tpu.parallel.mesh import (
     make_mesh,
+    make_mesh_2d,
     batch_sharding,
     replicated_sharding,
     shard_batch,
@@ -18,6 +19,7 @@ from radar_depth_tpu.parallel.mesh import (
 
 __all__ = [
     "make_mesh",
+    "make_mesh_2d",
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",

@@ -17,10 +17,26 @@ def make_mesh(devices: Optional[Sequence] = None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
+def make_mesh_2d(outer: int, inner: int,
+                 devices: Optional[Sequence] = None,
+                 axes: tuple = ("replica", "data")) -> Mesh:
+    """2-axis mesh (SURVEY.md §2: keep the mesh abstraction so a (dcn, ici)
+    topology slots in later). The model is pure data-parallel, so the batch
+    shards over BOTH axes; on multi-slice hardware the outer axis maps to
+    DCN-connected slices and the inner to the ICI ring."""
+    devices = list(devices if devices is not None else jax.devices())
+    assert len(devices) >= outer * inner, (len(devices), outer, inner)
+    arr = np.array(devices[: outer * inner]).reshape(outer, inner)
+    return Mesh(arr, axes)
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
-    """Shard the leading (batch) dimension over the mesh; all other dims
-    replicated. Applies to every leaf of a batch pytree."""
-    return NamedSharding(mesh, P(axis))
+    """Shard the leading (batch) dimension over EVERY mesh axis; all other
+    dims replicated. On the standard 1-axis data mesh this is P('data'); on
+    a 2-axis (replica, data) mesh the batch splits over both (pure DP).
+    Applies to every leaf of a batch pytree."""
+    names = tuple(mesh.axis_names)
+    return NamedSharding(mesh, P(names if len(names) > 1 else names[0]))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

@@ -70,3 +70,28 @@ def test_batch_convention_metrics_match_across_mesh_sizes():
     for k in results[0]:
         np.testing.assert_allclose(results[0][k], results[1][k], rtol=2e-5,
                                    err_msg=k)
+
+
+def test_two_axis_mesh_matches_one_axis():
+    """A 2-axis (replica=2, data=4) mesh — the future (dcn, ici) topology —
+    must reproduce 1-axis numerics: batch shards over both axes, metric sums
+    psum over both (SURVEY.md §2 parallelism table, 'keep the mesh
+    abstraction so a 2-axis mesh can be added later')."""
+    from radar_depth_tpu.metrics import compute_metric_sums
+    from radar_depth_tpu.parallel import make_mesh_2d
+
+    rng = np.random.default_rng(6)
+    pred = rng.uniform(1, 60, size=(8, 16, 24, 1)).astype(np.float32)
+    target = rng.uniform(1, 60, size=(8, 16, 24, 1)).astype(np.float32)
+    target[rng.uniform(size=target.shape) < 0.6] = 0.0
+
+    results = []
+    for mesh in (make_mesh(jax.devices()[:8]), make_mesh_2d(2, 4)):
+        fn = jax.jit(compute_metric_sums,
+                     in_shardings=(batch_sharding(mesh),) * 2,
+                     out_shardings=replicated_sharding(mesh))
+        b = shard_batch({"p": pred, "t": target}, mesh)
+        results.append(jax.tree_util.tree_map(np.asarray, fn(b["p"], b["t"])))
+    for k in results[0]:
+        np.testing.assert_allclose(results[0][k], results[1][k], rtol=2e-5,
+                                   err_msg=k)
