@@ -36,6 +36,8 @@ class DataConfig:
     # Inherited sparsifier knobs (upstream --sparsifier/--num-samples; C6):
     sparsifier: str = "none"  # none | uar | sim_stereo
     num_samples: int = 200
+    # z-buffer backend: sorted (default, 1.4-1.7x faster) | scatter (NOTES.md)
+    raster_backend: str = "sorted"
 
     def sample_spec(self) -> SampleSpec:
         return SampleSpec(
@@ -143,6 +145,10 @@ def parse_command(argv=None) -> TrainConfig:
                    choices=["none", "uar", "sim_stereo"])
     p.add_argument("--num-samples", type=int, default=200,
                    help="sparsifier target sample count (upstream flag)")
+    p.add_argument("--raster-backend", default="sorted",
+                   choices=["sorted", "scatter"],
+                   help="z-buffer backend (sorted = parallel sort + unique "
+                        "set, 1.4-1.7x faster on TPU; see NOTES.md)")
     p.add_argument("--no-augment", action="store_true",
                    help="disable train-time augmentation")
     p.add_argument("--num-train", type=int, default=256)
@@ -181,6 +187,7 @@ def parse_command(argv=None) -> TrainConfig:
             height_extension=a.height_extension, num_train=a.num_train,
             num_val=a.num_val, seed=a.seed,
             sparsifier=a.sparsifier, num_samples=a.num_samples,
+            raster_backend=a.raster_backend,
         ),
         model=ModelConfig(
             arch=a.arch, modality=a.modality, decoder=a.decoder, dtype=a.dtype,

@@ -77,8 +77,9 @@ class Predictor:
         )
         self.params = params
         self.batch_stats = batch_stats
-        self._pre = PreprocessConfig(spec=spec,
-                                     height_extension=cfg.data.height_extension)
+        self._pre = PreprocessConfig(
+            spec=spec, height_extension=cfg.data.height_extension,
+            raster_backend=cfg.data.raster_backend)
         self._infer = jax.jit(self._infer_fn)
 
     @classmethod

@@ -43,6 +43,7 @@ def make_preprocess_config(cfg: TrainConfig) -> PreprocessConfig:
         augment=cfg.augment,
         sparsifier=cfg.data.sparsifier,
         num_samples=cfg.data.num_samples,
+        raster_backend=cfg.data.raster_backend,
     )
 
 
