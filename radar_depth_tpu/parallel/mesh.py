@@ -25,27 +25,30 @@ def make_mesh_2d(outer: int, inner: int,
     shards over BOTH axes; on multi-slice hardware the outer axis maps to
     DCN-connected slices and the inner to the ICI ring."""
     devices = list(devices if devices is not None else jax.devices())
-    assert len(devices) >= outer * inner, (len(devices), outer, inner)
+    if len(devices) < outer * inner:
+        raise ValueError(
+            f"make_mesh_2d({outer}, {inner}) needs {outer * inner} devices, "
+            f"have {len(devices)}")
     arr = np.array(devices[: outer * inner]).reshape(outer, inner)
     return Mesh(arr, axes)
 
 
-def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) dimension over EVERY mesh axis; all other
     dims replicated. On the standard 1-axis data mesh this is P('data'); on
     a 2-axis (replica, data) mesh the batch splits over both (pure DP).
     Applies to every leaf of a batch pytree."""
-    names = tuple(mesh.axis_names)
-    return NamedSharding(mesh, P(names if len(names) > 1 else names[0]))
+    return NamedSharding(mesh, P(tuple(mesh.axis_names)))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Dict, mesh: Mesh, axis: str = "data") -> Dict:
-    """Device-put a host batch with its leading axis sharded over the mesh."""
-    sharding = batch_sharding(mesh, axis)
+def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
+    """Device-put a host batch with its leading axis sharded over the mesh
+    (every mesh axis — see batch_sharding)."""
+    sharding = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
 
 

@@ -16,13 +16,16 @@ import time
 def pipelined_timer(fn, xs, iters: int = 20):
     """Time `fn(*xs) -> array` over `iters` on-device iterations.
 
-    The carry is injected as `x + carry * 1e-30` into every floating-point
-    input (integer/bool inputs pass through untouched) and advanced with one
-    element of the output, ordering the stream without changing the math.
-    Returns seconds per iteration (after one full compile+run warmup).
+    The carry is injected as `x + carry * 1e-30` into every non-bool input —
+    value-neutral for floats, a traced (unfoldable) zero for ints — and
+    advanced with one element of the output, ordering the stream without
+    changing the math. Returns seconds per iteration (after one full
+    compile+run warmup; the warmup carry is checked finite so an inf/NaN
+    output cannot silently poison the timed inputs).
     """
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     def inject(x, c):
         if not hasattr(x, "dtype") or x.dtype == jnp.bool_:
@@ -41,7 +44,8 @@ def pipelined_timer(fn, xs, iters: int = 20):
                             length=iters)
         return c
 
-    float(run(*xs))  # warmup = compile + one full timed-shape run
+    warm = float(run(*xs))  # warmup = compile + one full timed-shape run
+    assert np.isfinite(warm), f"non-finite checksum from timed fn: {warm}"
     t0 = time.perf_counter()
     float(run(*xs))
     return (time.perf_counter() - t0) / iters

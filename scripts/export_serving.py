@@ -26,6 +26,17 @@ def main() -> int:
     p.add_argument("--height", type=int, default=450)
     p.add_argument("--width", type=int, default=800)
     p.add_argument("--num-sweeps", type=int, default=5)
+    p.add_argument("--height-extension", type=int, default=0)
+    p.add_argument("--raster-backend", default="sorted",
+                   choices=["sorted", "scatter"])
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    # multistage stage-2 filter — MUST match training (inference.py mirrors
+    # Trainer for the same reason; a default-filtered export would silently
+    # serve different depth maps than the trained model's eval)
+    p.add_argument("--filter-mode", default="abs", choices=["abs", "rel", "or"])
+    p.add_argument("--abs-threshold", type=float, default=2.0)
+    p.add_argument("--rel-threshold", type=float, default=0.15)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--cpu", action="store_true",
                    help="lower for CPU (default: the session's backend)")
@@ -41,9 +52,14 @@ def main() -> int:
 
     cfg = TrainConfig(
         data=DataConfig(height=args.height, width=args.width,
-                        num_sweeps=args.num_sweeps),
+                        num_sweeps=args.num_sweeps,
+                        height_extension=args.height_extension,
+                        raster_backend=args.raster_backend),
         model=ModelConfig(arch=args.arch, modality=args.modality,
-                          decoder=args.decoder),
+                          decoder=args.decoder, dtype=args.dtype,
+                          filter_mode=args.filter_mode,
+                          abs_threshold=args.abs_threshold,
+                          rel_threshold=args.rel_threshold),
     )
     pred = Predictor.from_run(args.run, cfg=cfg)
     nbytes = pred.export_serving(args.out, args.batch)

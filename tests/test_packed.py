@@ -78,10 +78,13 @@ def test_corrupt_inputs_fail_cleanly(shard, tmp_path):
             packed.parse_header(good[:cut])
     rng = np.random.default_rng(0)
     garbage = bytes(good[:8]) + rng.integers(0, 256, 4096, np.uint8).tobytes()
-    with _pytest.raises(Exception):
-        hs, n, rec, layout = packed.parse_header(garbage)
-        # if it parsed by luck, the layout must still be schema-consistent
-        assert set(layout) == set(SAMPLE_KEYS)
+    try:
+        _, _, _, layout = packed.parse_header(garbage)
+    except Exception:
+        pass  # clean rejection — the expected outcome
+    else:
+        # parsed by luck: the layout must at least be schema-consistent
+        assert set(layout) == set(SAMPLE_KEYS), "garbage parsed into nonsense"
 
     bad = tmp_path / "garbage.rdtp"
     bad.write_bytes(rng.integers(0, 256, 1 << 16, np.uint8).tobytes())
