@@ -88,3 +88,14 @@ def test_profiling_helpers(tmp_path):
     # a capture directory with at least one event artifact was produced
     produced = list((tmp_path / "trace").rglob("*"))
     assert produced, "device_trace produced no artifacts"
+
+
+def test_model_summary_params():
+    """scripts/model_summary.py param counting (shape-eval, no compile)."""
+    from scripts.model_summary import summarize_params_only
+
+    n1, s1 = summarize_params_only("resnet18", 64, 96, "deconv2")
+    n2, s2 = summarize_params_only("resnet18_latefusion", 64, 96, "deconv2")
+    nm, sm = summarize_params_only("resnet18_multistage", 64, 96, "deconv2")
+    assert 0 < n1 < n2 < nm
+    assert nm == 2 * n2 and sm == 2 * s2  # two identical late-fusion stages
