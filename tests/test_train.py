@@ -236,6 +236,26 @@ def test_resume_bitwise_equals_uninterrupted(tmp_path):
         assert row_a[k] == row_b[k], (k, row_a[k], row_b[k])
 
 
+def test_restore_for_evaluate_specific_step(tmp_path):
+    """--evaluate accepts a run dir (best checkpoint), the checkpoints dir,
+    or a specific numeric step dir (upstream loads an explicit .pth.tar)."""
+    from radar_depth_tpu.train import checkpoint as ckpt_lib
+
+    mgr = ckpt_lib.CheckpointManager(str(tmp_path))
+    for epoch, rmse in enumerate([5.0, 2.0, 3.0]):
+        mgr.save(epoch, {"w": np.full(3, float(epoch), np.float32)},
+                 {"rmse": rmse})
+    mgr.close()
+    template = {"w": np.zeros(3, np.float32)}
+    # run dir → best (epoch 1, rmse 2.0)
+    st = ckpt_lib.restore_for_evaluate(str(tmp_path), template)
+    np.testing.assert_array_equal(st["w"], np.full(3, 1.0, np.float32))
+    # explicit step dir → that exact epoch
+    st2 = ckpt_lib.restore_for_evaluate(
+        os.path.join(str(tmp_path), "checkpoints", "2"), template)
+    np.testing.assert_array_equal(st2["w"], np.full(3, 2.0, np.float32))
+
+
 def test_checkpoint_keeps_latest_and_best(tmp_path):
     """Latest epoch must survive preservation even when it is not among the
     best-N by RMSE, or --resume silently rewinds and re-trains epochs
