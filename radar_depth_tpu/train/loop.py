@@ -402,6 +402,15 @@ class Trainer:
         return {tag: self.validate(epoch, viz=False, indices=idx)
                 for tag, idx in sorted(groups.items())}
 
+    def write_split_csvs(self, splits: Dict[str, Dict[str, float]],
+                         epoch: int = 0) -> None:
+        """Persist per-split metrics as test_<tag>.csv rows next to the main
+        test.csv (same schema), so split results are greppable artifacts, not
+        just stdout."""
+        for tag, m in splits.items():
+            EpochCSVLogger(os.path.join(
+                self.cfg.output_dir, f"test_{tag}.csv")).append(epoch, m)
+
     def fit(self):
         cfg = self.cfg
         self.maybe_init_from_stage1()

@@ -29,6 +29,7 @@ def main(argv=None) -> int:
             for tag, m in splits.items():
                 print(f"validation[{tag}]:",
                       {k: round(v, 4) for k, v in m.items()})
+            trainer.write_split_csvs(splits)
         return 0
     trainer.fit()
     return 0

@@ -167,6 +167,16 @@ def test_validate_splits_day_night(tmp_path):
     m2 = tr.validate(0, viz=False)
     assert m2["count"] == overall["count"]
     np.testing.assert_allclose(m2["rmse"], overall["rmse"], rtol=1e-5)
+
+    # per-split CSV artifacts (written by --evaluate --eval-splits)
+    tr.write_split_csvs(splits)
+    for tag, m in splits.items():
+        p = os.path.join(cfg.output_dir, f"test_{tag}.csv")
+        with open(p) as f:
+            lines = f.read().strip().splitlines()
+        assert lines[0].startswith("epoch,mse,rmse")
+        assert float(lines[1].split(",")[2]) == round(m["rmse"], 6) or \
+            abs(float(lines[1].split(",")[2]) - m["rmse"]) < 1e-5
     tr.close()
 
 
