@@ -312,6 +312,13 @@ struct Loader {
   uint64_t epoch = 0;
 
   Batch* current = nullptr;  // batch currently lent out to the consumer
+
+  // consumer-side delivery order (guarded by mu): workers finish batches in
+  // thread-timing order, but training must see them in claim order or runs
+  // are not reproducible across thread counts/scheduling (the torch
+  // DataLoader the loader replaces is also in-order).
+  uint64_t next_epoch = 0;
+  uint64_t next_index = 0;
 };
 
 uint64_t rd_u64(const uint8_t*& p) {
@@ -501,20 +508,43 @@ void rdtp_loader_start(void* h, uint64_t num_threads) {
   for (uint64_t i = 0; i < nt; ++i) L->workers.emplace_back(worker_main, L);
 }
 
-// Returns a pointer to the next ready batch (batch_size*record_size bytes).
-// The buffer stays valid until the following rdtp_loader_next call.
+// Returns a pointer to the next batch IN CLAIM ORDER (epoch, index_in_epoch)
+// — deterministic for a given seed regardless of worker count or thread
+// scheduling. The buffer stays valid until the following rdtp_loader_next
+// call. No deadlock: indices+buffers are claimed together under the lock, so
+// the awaited batch is always either in `ready` or being filled by a worker
+// that already owns a buffer.
 const uint8_t* rdtp_loader_next(void* h, uint64_t* epoch_out,
                                 uint64_t* index_out) {
   auto* L = static_cast<Loader*>(h);
   Batch* prev = L->current;
   Batch* b = nullptr;
+  const uint64_t bpe = L->shard->num_samples / L->batch_size;
   {
     std::unique_lock<std::mutex> lk(L->mu);
-    if (prev) L->pool.push_back(prev);
-    L->cv_ready.wait(lk, [&] { return L->stop || !L->ready.empty(); });
+    if (prev) {
+      L->pool.push_back(prev);
+      L->cv_space.notify_all();
+    }
+    auto find_expected = [&]() -> Batch* {
+      for (auto it = L->ready.begin(); it != L->ready.end(); ++it) {
+        if ((*it)->epoch == L->next_epoch &&
+            (*it)->index_in_epoch == L->next_index) {
+          Batch* r = *it;
+          L->ready.erase(it);
+          return r;
+        }
+      }
+      return nullptr;
+    };
+    L->cv_ready.wait(lk, [&] {
+      return L->stop || (b = find_expected()) != nullptr;
+    });
     if (L->stop) return nullptr;
-    b = L->ready.front();
-    L->ready.pop_front();
+    if (++L->next_index >= bpe) {
+      L->next_index = 0;
+      ++L->next_epoch;
+    }
   }
   L->cv_space.notify_all();
   L->current = b;

@@ -95,6 +95,27 @@ def test_corrupt_inputs_fail_cleanly(shard, tmp_path):
             packed.PackedDataset(str(bad), use_native=True)
 
 
+def test_native_loader_order_deterministic_across_thread_counts(shard):
+    """Batches must arrive in CLAIM order (epoch, index) regardless of worker
+    count — thread-timing-dependent delivery would make training runs
+    irreproducible (the torch DataLoader this replaces is in-order)."""
+    path, _ = shard
+    if not packed.native_available():
+        pytest.skip("librdtp did not build")
+    seqs = []
+    for threads in (1, 4, 8):
+        r = packed.PackedDataset(path, use_native=True)
+        loader = packed.NativeBatchLoader(r, batch_size=5, shuffle=True,
+                                          seed=7, threads=threads,
+                                          queue_depth=3)
+        seqs.append([next(loader)["image"].copy() for _ in range(8)])
+        loader.close()
+        r.close()
+    for other in seqs[1:]:
+        for a, b in zip(seqs[0], other):
+            np.testing.assert_array_equal(a, b)
+
+
 def test_native_loader_stress_many_threads(shard):
     """Concurrency hammer: 8 prefetch threads over many epochs must yield
     exact per-epoch permutations with intact records (no torn batches)."""
