@@ -177,6 +177,44 @@ def test_native_batch_loader_covers_epoch(shard):
     r.close()
 
 
+def test_native_train_bitwise_reproducible(tmp_path):
+    """End-to-end: two identical training runs through the native loader
+    (prefetch threads + worker-side augmentation) produce bitwise-equal
+    epoch metrics — in-order delivery + keyed augmentation make the whole
+    packed-data train path deterministic (SURVEY.md §5 determinism)."""
+    from radar_depth_tpu.config import (AugmentConfig, DataConfig, ModelConfig,
+                                        OptimConfig, TrainConfig)
+    from radar_depth_tpu.data.schema import SampleSpec
+    from radar_depth_tpu.data.synthetic import SyntheticNuScenes
+    from radar_depth_tpu.train.loop import Trainer
+
+    if not packed.native_available():
+        pytest.skip("librdtp unavailable")
+    spec = SampleSpec(height=64, width=96, num_sweeps=2)
+    for split, n, seed in (("train", 16, 0), ("val", 8, 1)):
+        ds = SyntheticNuScenes(n, spec=spec, seed=seed)
+        packed.write_shard(str(tmp_path / "data" / split / "data.rdtp"),
+                           [ds[i] for i in range(n)])
+    rows = []
+    for run in ("a", "b"):
+        cfg = TrainConfig(
+            data=DataConfig(dataset="packed",
+                            data_root=str(tmp_path / "data"),
+                            height=64, width=96, num_sweeps=2),
+            model=ModelConfig(arch="resnet18", modality="rgbd",
+                              decoder="deconv2"),
+            optim=OptimConfig(), augment=AugmentConfig(),
+            batch_size=8, epochs=1, workers=4,
+            output_dir=str(tmp_path / run), print_freq=100,
+        )
+        tr = Trainer(cfg)
+        tr.fit()
+        with open(tmp_path / run / "train.csv") as f:
+            rows.append(f.read().strip().splitlines()[-1])
+    # identical metric values; timing columns (last two) naturally differ
+    assert rows[0].split(",")[:9] == rows[1].split(",")[:9], rows
+
+
 def test_trainer_with_packed_native_loader(tmp_path):
     """Training consumes packed shards through the native prefetch loader."""
     from radar_depth_tpu.config import (AugmentConfig, DataConfig, ModelConfig,
