@@ -38,6 +38,10 @@ class DataConfig:
     num_samples: int = 200
     # z-buffer backend: sorted (default, 1.4-1.7x faster) | scatter (NOTES.md)
     raster_backend: str = "sorted"
+    # GT handling under in-graph train augmentation: warp (reference
+    # transform semantics, default) | rerasterize (geometrically exact
+    # re-projection of the LiDAR points; see ops/preprocess.py)
+    gt_augment: str = "warp"
 
     def sample_spec(self) -> SampleSpec:
         return SampleSpec(
@@ -149,6 +153,11 @@ def parse_command(argv=None) -> TrainConfig:
                    choices=["sorted", "scatter"],
                    help="z-buffer backend (sorted = parallel sort + unique "
                         "set, 1.4-1.7x faster on TPU; see NOTES.md)")
+    p.add_argument("--gt-augment", default="warp",
+                   choices=["warp", "rerasterize"],
+                   help="GT under in-graph augmentation: warp = reference "
+                        "nearest-warp semantics; rerasterize = exact "
+                        "re-projection of LiDAR points")
     p.add_argument("--no-augment", action="store_true",
                    help="disable train-time augmentation")
     p.add_argument("--num-train", type=int, default=256)
@@ -187,7 +196,7 @@ def parse_command(argv=None) -> TrainConfig:
             height_extension=a.height_extension, num_train=a.num_train,
             num_val=a.num_val, seed=a.seed,
             sparsifier=a.sparsifier, num_samples=a.num_samples,
-            raster_backend=a.raster_backend,
+            raster_backend=a.raster_backend, gt_augment=a.gt_augment,
         ),
         model=ModelConfig(
             arch=a.arch, modality=a.modality, decoder=a.decoder, dtype=a.dtype,

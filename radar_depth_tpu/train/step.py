@@ -44,6 +44,7 @@ def make_preprocess_config(cfg: TrainConfig) -> PreprocessConfig:
         sparsifier=cfg.data.sparsifier,
         num_samples=cfg.data.num_samples,
         raster_backend=cfg.data.raster_backend,
+        gt_augment=cfg.data.gt_augment,
     )
 
 

@@ -60,7 +60,7 @@ def test_cli_flags_roundtrip():
         "--num-samples", "321", "--no-augment", "-c", "l2", "-b", "4",
         "--height-extension", "2", "--workers", "6",
         "--eval-batch-size", "16", "--metric-avg", "batch", "--eval-splits",
-        "--raster-backend", "scatter",
+        "--raster-backend", "scatter", "--gt-augment", "rerasterize",
     ])
     assert cfg.data.sparsifier == "uar"
     assert cfg.data.num_samples == 321
@@ -73,6 +73,7 @@ def test_cli_flags_roundtrip():
     assert cfg.metric_avg == "batch"
     assert cfg.eval_splits
     assert cfg.data.raster_backend == "scatter"
+    assert cfg.data.gt_augment == "rerasterize"
 
 
 def test_sparsifier_path_feeds_model(tmp_path):
