@@ -102,10 +102,12 @@ class TrainConfig:
     print_freq: int = 10
     val_viz_every: int = 50  # comparison PNG every N val batches (C11)
     # Metric averaging convention (SURVEY.md §2 C9 / VERDICT r1 weak #7):
-    # "sample" = per-sample pixel means averaged over samples (exact under
-    # padded eval tails); "batch" = the reference's AverageMeter weighting
-    # (pixel-pooled per batch, weighted by batch size).
-    metric_avg: str = "sample"
+    # "batch" (default) = the reference's AverageMeter weighting (pixel-pooled
+    # per batch, weighted by batch size) so default CSVs compare 1:1 against
+    # reference numbers (VERDICT r2 #7); "sample" = per-sample pixel means
+    # averaged over samples — batch-size invariant and exact under padded
+    # eval tails, opt in via --metric-avg sample.
+    metric_avg: str = "batch"
     # --evaluate also reports per-split (day/night) metrics when the val
     # dataset carries sample tags (paper reports splits separately; §6).
     eval_splits: bool = False
@@ -178,10 +180,11 @@ def parse_command(argv=None) -> TrainConfig:
     p.add_argument("--lr-decay-epochs", type=int, default=5)
     p.add_argument("--lr-decay-factor", type=float, default=0.1)
     # metrics
-    p.add_argument("--metric-avg", default="sample",
+    p.add_argument("--metric-avg", default="batch",
                    choices=["sample", "batch"],
-                   help="'batch' = reference AverageMeter weighting "
-                        "(pixel-pooled per batch × batch size)")
+                   help="'batch' (default) = reference AverageMeter weighting "
+                        "(pixel-pooled per batch × batch size); 'sample' = "
+                        "batch-size-invariant per-sample means")
     p.add_argument("--eval-splits", action="store_true",
                    help="report per-split (day/night) metrics at --evaluate")
     a = p.parse_args(argv)

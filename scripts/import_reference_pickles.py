@@ -44,7 +44,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from radar_depth_tpu.data import schema  # noqa: E402
-from radar_depth_tpu.data.packed import write_shard  # noqa: E402
+from radar_depth_tpu.data.packed import write_shards  # noqa: E402
 
 # Candidate key names per logical field, most-likely first ([M] until the
 # reference mount is readable; SURVEY.md §1 L1→L2 interface).
@@ -207,6 +207,9 @@ def main() -> int:
     p.add_argument("--val-fraction", type=float, default=0.15)
     p.add_argument("--train-list", default="", help="file of pickle paths")
     p.add_argument("--val-list", default="")
+    p.add_argument("--max-shard-bytes", type=int, default=4 << 30,
+                   help="roll packed output to a new shard file at this size "
+                        "(streaming writes, bounded memory; VERDICT r2 #3)")
     p.add_argument("--key-map", nargs="*", default=[],
                    metavar="FIELD=PICKLE_KEY",
                    help="override key lookup, e.g. lidar_depth=depth_png")
@@ -241,10 +244,12 @@ def main() -> int:
                     raw = pickle.load(f)
                 yield convert_sample(raw, spec, key_map, stats)
 
-        shard = os.path.join(args.out, split, "data.rdtp")
-        write_shard(shard, gen())
-        size_mb = os.path.getsize(shard) / 1e6
-        print(f"{split}: {len(paths)} pickles → {shard} ({size_mb:.0f} MB); "
+        out_dir = os.path.join(args.out, split)
+        shards = write_shards(out_dir, gen(),
+                              max_shard_bytes=args.max_shard_bytes)
+        size_mb = sum(os.path.getsize(q) for q in shards) / 1e6
+        print(f"{split}: {len(paths)} pickles → {out_dir} "
+              f"({len(shards)} shard(s), {size_mb:.0f} MB); "
               f"drops/fallbacks: {stats or 'none'}")
     return 0
 

@@ -13,6 +13,8 @@ import argparse
 import os
 import sys
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -20,7 +22,7 @@ def summarize(arch: str, height: int, width: int, decoder: str = "upproj"):
     import jax
     import jax.numpy as jnp
 
-    from radar_depth_tpu.models import ARCH_REGISTRY, create_model
+    from radar_depth_tpu.models import create_model
 
     model, spec = create_model(arch, decoder=decoder,
                                output_size=(height, width))
@@ -48,9 +50,6 @@ def summarize(arch: str, height: int, width: int, decoder: str = "upproj"):
     except Exception:
         pass
     return n_params, n_stats, flops
-
-
-import numpy as np  # noqa: E402
 
 
 def main() -> int:

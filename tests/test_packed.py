@@ -244,3 +244,96 @@ def test_trainer_with_packed_native_loader(tmp_path):
         assert os.path.exists(tmp_path / "run" / "test.csv")
     else:
         pytest.skip("librdtp unavailable")
+
+
+# ------------------------------------------------------------- multi-shard
+
+
+@pytest.fixture(scope="module")
+def sharded_split(tmp_path_factory):
+    """The same 10 samples written as one file AND as a multi-shard dir
+    (max_shard_bytes forces ~3 samples/shard)."""
+    root = tmp_path_factory.mktemp("msplit")
+    ds = SyntheticNuScenes(10, spec=SPEC, seed=3)
+    single = str(root / "single.rdtp")
+    packed.write_shard(single, (ds[i] for i in range(10)))
+    rec = packed.PackedDataset(single, use_native=False)._record_size
+    shard_dir = str(root / "shards")
+    tags = [ds.sample_tag(i) for i in range(10)]
+    paths = packed.write_shards(shard_dir, (ds[i] for i in range(10)),
+                                tags=tags, max_shard_bytes=3 * rec)
+    return single, shard_dir, paths, ds, tags
+
+
+def test_write_shards_rolls_files(sharded_split):
+    _, _, paths, _, _ = sharded_split
+    assert len(paths) == 4  # 3+3+3+1 samples
+    import os
+    for p in paths:
+        assert os.path.exists(p) and os.path.exists(p + ".tags.json")
+
+
+@pytest.mark.parametrize("native", [False, True])
+def test_multishard_reader_matches_single(sharded_split, native):
+    single, shard_dir, _, ds, tags = sharded_split
+    if native and not packed.native_available():
+        pytest.skip("librdtp unavailable")
+    r = packed.PackedDataset(shard_dir, use_native=native)
+    assert len(r) == 10
+    assert r.tags == tags
+    # indices crossing shard boundaries, unsorted
+    got = r.batch([9, 0, 4, 3, 7])
+    for j, i in enumerate([9, 0, 4, 3, 7]):
+        want = ds[i]
+        for k in SAMPLE_KEYS:
+            np.testing.assert_array_equal(got[k][j], want[k], err_msg=k)
+
+
+def test_multishard_native_loader_matches_single_file(sharded_split):
+    """NativeBatchLoader over a shard directory delivers the SAME batches as
+    over the equivalent single file (same seed ⇒ same global index order)."""
+    if not packed.native_available():
+        pytest.skip("librdtp unavailable")
+    single, shard_dir, _, _, _ = sharded_split
+    a = packed.PackedDataset(single, use_native=True)
+    b = packed.PackedDataset(shard_dir, use_native=True)
+    la = packed.NativeBatchLoader(a, 4, shuffle=True, seed=11, threads=2)
+    lb = packed.NativeBatchLoader(b, 4, shuffle=True, seed=11, threads=3)
+    try:
+        for _ in range(6):  # crosses an epoch boundary (10//4 = 2 steps/epoch)
+            ba, bb = next(la), next(lb)
+            for k in SAMPLE_KEYS:
+                np.testing.assert_array_equal(ba[k], bb[k], err_msg=k)
+    finally:
+        la.close()
+        lb.close()
+
+
+def test_multishard_layout_mismatch_raises(tmp_path):
+    other = SampleSpec(height=32, width=48, lidar_points=256, num_sweeps=2)
+    d = tmp_path / "mix"
+    ds1 = SyntheticNuScenes(2, spec=SPEC, seed=1)
+    ds2 = SyntheticNuScenes(2, spec=other, seed=1)
+    packed.write_shard(str(d / "data-00000.rdtp"), [ds1[0], ds1[1]])
+    packed.write_shard(str(d / "data-00001.rdtp"), [ds2[0], ds2[1]])
+    with pytest.raises(Exception):
+        packed.PackedDataset(str(d), use_native=False)
+
+
+def test_streaming_writer_is_lazy(tmp_path):
+    """write_shards consumes its sample iterable strictly one-at-a-time (the
+    bounded-memory contract for ~100 GB splits)."""
+    ds = SyntheticNuScenes(6, spec=SPEC, seed=2)
+    live = {"n": 0, "max": 0}
+
+    def gen():
+        for i in range(6):
+            live["n"] += 1
+            live["max"] = max(live["max"], live["n"])
+            yield ds[i]
+            live["n"] -= 1  # writer must be done with it before the next
+
+    packed.write_shards(str(tmp_path / "s"), gen(), max_shard_bytes=1)
+    assert live["max"] == 1
+    r = packed.PackedDataset(str(tmp_path / "s"), use_native=False)
+    assert len(r) == 6 and len(r.paths) == 6
