@@ -30,9 +30,17 @@ def main():
     p.add_argument("--arch", default="resnet18_multistage")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--remat", action="store_true")
-    p.add_argument("--mode", default="infer", choices=["infer", "train"],
-                   help="infer: preproc+forward (the driver metric); train: "
-                        "full step incl. augmentation, backward, SGD update")
+    p.add_argument("--mode", default="infer",
+                   choices=["infer", "train", "stream"],
+                   help="infer: preproc+forward, batch resident on device "
+                        "(the driver metric); train: full step incl. "
+                        "augmentation, backward, SGD update; stream: "
+                        "double-buffered host->device upload per step — "
+                        "throughput INCLUDING transfer (VERDICT r2 #4)")
+    p.add_argument("--stream-iters", type=int, default=8,
+                   help="streaming-mode steps (each uploads a full batch; "
+                        "on the bench relay transfer runs ~0.03 GB/s, so "
+                        "keep this small)")
     args = p.parse_args()
 
     from radar_depth_tpu.data.schema import SampleSpec
@@ -116,6 +124,54 @@ def main():
     assert np.isfinite(checksum)
     img_per_sec = args.batch * args.iters / dt
     per_chip = img_per_sec / n_chips
+
+    if args.mode == "stream":
+        # Honest served-traffic measurement: every step uploads a fresh raw
+        # batch (jnp.asarray = host->device transfer) and dispatches the same
+        # fused preproc+forward graph, two dispatches in flight so upload of
+        # batch i+1 overlaps compute of batch i (Predictor.predict_stream
+        # semantics). Includes host->device bandwidth — on this relay that
+        # link runs ~0.03 GB/s (NOTES.md "relay facts"), so the number here
+        # benchmarks the relay link, not the framework; on direct-attached
+        # TPU hosts (PCIe/ICI ~10+ GB/s) transfer is a few ms/batch and
+        # stream converges to the resident number.
+        from collections import deque
+
+        @jax.jit
+        def one_step(params, batch_stats, batch):
+            prepared = prepare_eval_batch(batch, pre_cfg)
+            inputs = pack_model_inputs(prepared, arch_spec.input_kind)
+            out = model.apply({"params": params, "batch_stats": batch_stats},
+                              *inputs, train=False)
+            pred = out[1] if arch_spec.multistage else out
+            return jnp.sum(pred.astype(jnp.float32))
+
+        # two distinct host buffers so uploads cannot be cached/aliased
+        host_a = host_batch
+        host_b = {k: v.copy() for k, v in host_batch.items()}
+        float(one_step(params, batch_stats,
+                       {k: jnp.asarray(v) for k, v in host_b.items()}))
+        inflight = deque()
+        t0 = time.perf_counter()
+        for i in range(args.stream_iters):
+            src = host_a if i % 2 == 0 else host_b
+            dev = {k: jnp.asarray(v) for k, v in src.items()}
+            inflight.append(one_step(params, batch_stats, dev))
+            if len(inflight) >= 2:
+                assert np.isfinite(float(inflight.popleft()))
+        while inflight:
+            assert np.isfinite(float(inflight.popleft()))
+        sdt = time.perf_counter() - t0
+        stream_per_chip = args.batch * args.stream_iters / sdt / n_chips
+        print(json.dumps({
+            "metric": "stream_images_per_sec_per_chip",
+            "value": round(stream_per_chip, 2),
+            "unit": "img/s/chip",
+            "vs_baseline": round(stream_per_chip / 1000.0, 4),
+            "resident_images_per_sec_per_chip": round(per_chip, 2),
+        }))
+        return
+
     print(json.dumps({
         "metric": "images_per_sec_per_chip",
         "value": round(per_chip, 2),
@@ -148,6 +204,8 @@ def bench_train(args, model, arch_spec, cfg, variables, batch, n_chips):
     host_aug = native_available()
     key = jax.random.PRNGKey(0)
 
+    host_rate = None
+    loader_threads = max(2, (os.cpu_count() or 1))
     if host_aug:
         # One REAL host-augmented batch, resident on device: the metric is
         # the device-side step throughput, which on production hardware IS
@@ -156,9 +214,11 @@ def bench_train(args, model, arch_spec, cfg, variables, batch, n_chips):
         # ~10 ms). On this benchmarking relay, per-step host->device
         # transfer runs at ~0.03 GB/s (network artifact), so a streaming
         # measurement would benchmark the relay, not the framework; the
-        # loader's own throughput is reported to stderr for the record.
-        import sys
-
+        # loader's own measured throughput rides the SAME JSON line
+        # (loader_img_per_sec) so input-pipeline capacity is a first-class
+        # benchmark output (VERDICT r2 #1). Feeding 8 chips needs
+        # 8 x value/chip from one host: divide loader_img_per_sec by the
+        # measured per-core rate (NOTES.md) to size the host.
         n_samples = max(2 * args.batch, 256)
         shard = (f"/tmp/rdtp_bench_{spec.height}x{spec.width}"
                  f"_s{spec.num_sweeps}_n{n_samples}/data.rdtp")
@@ -167,16 +227,14 @@ def bench_train(args, model, arch_spec, cfg, variables, batch, n_chips):
             write_shard(shard, (ds[i] for i in range(n_samples)))
         dataset = PackedDataset(shard)
         loader = NativeBatchLoader(dataset, args.batch, shuffle=True, seed=0,
-                                   queue_depth=4, threads=6,
+                                   queue_depth=4, threads=loader_threads,
                                    augment=cfg.augment)
-        next(loader)  # warm workers
+        next(loader)  # warm workers + page cache
         t0 = time.perf_counter()
-        host_batches = 4
+        host_batches = 8
         for _ in range(host_batches):
             host_batch = next(loader)
         host_rate = args.batch * host_batches / (time.perf_counter() - t0)
-        print(f"host augment loader: {host_rate:.1f} img/s "
-              f"({6} threads)", file=sys.stderr)
         batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
         loader.close()
         dataset.close()
@@ -208,12 +266,16 @@ def bench_train(args, model, arch_spec, cfg, variables, batch, n_chips):
     dt = time.perf_counter() - t0
     assert np.isfinite(checksum)
     per_chip = args.batch * args.iters / dt / n_chips
-    print(json.dumps({
+    out = {
         "metric": "train_images_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(per_chip / 1000.0, 4),
-    }))
+    }
+    if host_rate is not None:
+        out["loader_img_per_sec"] = round(host_rate, 1)
+        out["loader_threads"] = loader_threads
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

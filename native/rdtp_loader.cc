@@ -26,6 +26,10 @@
 // Build: g++ -O3 -march=native -shared -fPIC -o librdtp.so rdtp_loader.cc -lpthread
 
 #include <algorithm>
+
+#if defined(__AVX2__) && defined(__FMA__)
+#include <immintrin.h>
+#endif
 #include <atomic>
 #include <cmath>
 #include <condition_variable>
@@ -116,7 +120,24 @@ uint64_t splitmix64(uint64_t x) {
   return x ^ (x >> 31);
 }
 
+// Per-phase timing hooks, compiled in only by native/bench_augment.cc — the
+// production .so carries zero instrumentation.
+#ifdef RDTP_BENCH_PHASES
+// <chrono> must already be included by the benchmarking TU (bench_augment.cc)
+double g_phase_ms[4];
+#define RDTP_PHASE_DECL std::chrono::steady_clock::time_point _pt0;
+#define RDTP_PHASE_BEGIN _pt0 = std::chrono::steady_clock::now();
+#define RDTP_PHASE_END(i)                                              \
+  g_phase_ms[i] += std::chrono::duration<double, std::milli>(          \
+                       std::chrono::steady_clock::now() - _pt0).count();
+#else
+#define RDTP_PHASE_DECL
+#define RDTP_PHASE_BEGIN
+#define RDTP_PHASE_END(i)
+#endif
+
 void augment_record(uint8_t* rec, const AugSpec& a, uint64_t sample_key) {
+  RDTP_PHASE_DECL
   std::mt19937_64 rng(sample_key);
   std::uniform_real_distribution<float> uni(0.f, 1.f);
   const float s = a.scale_min + uni(rng) * (a.scale_max - a.scale_min);
@@ -150,16 +171,35 @@ void augment_record(uint8_t* rec, const AugSpec& a, uint64_t sample_key) {
   }
 
   // ---- rgb: inverse bilinear warp (half-pixel conjugated) + jitter.
-  // Hot path: per output row, source coords are affine in j (incremental
-  // adds); the j-range whose full 2x2 tap window is interior is computed
-  // analytically so the inner loop is branch-free; border pixels take the
-  // checked path. Scratch is thread-local (no per-sample allocation).
+  // Hot-path design (measured in native/bench_augment.cc): per output row,
+  // source coords are affine in j; the j-range whose full 2x2 tap window is
+  // interior is computed analytically so the inner loop is branch-free, and
+  // on AVX2+FMA hosts that loop runs 8 px/iter with hardware gathers. Warped
+  // pixels land in SoA float planes (contiguous vector stores); the jitter
+  // pass then reads the planes contiguously and re-interleaves into the
+  // record's HWC uint8 layout. Per-pixel arithmetic matches the scalar path
+  // (and the jax oracle, tests/test_native_augment.py) to FMA rounding —
+  // far inside the test tolerances; border pixels take the checked scalar
+  // path. Scratch is thread-local (no per-sample allocation).
   uint8_t* img = rec + a.image_off;
+  const size_t npx = static_cast<size_t>(H) * W;
   {
-    thread_local std::vector<float> warped;
-    warped.resize(static_cast<size_t>(H) * W * 3);
+    RDTP_PHASE_BEGIN
+    thread_local std::vector<float> wr_, wg_, wb_, su_, sv_;
+    wr_.resize(npx); wg_.resize(npx); wb_.resize(npx);
+    su_.resize(W); sv_.resize(W);
+    float* const wr = wr_.data();
+    float* const wg = wg_.data();
+    float* const wb = wb_.data();
+    // Per-row source coords, always computed by the one scalar expression —
+    // the vector loop LOADS these instead of recomputing them, so its
+    // floor-bin decisions are bit-identical to the scalar/border path (an
+    // FMA-reassociated coordinate one ulp off flips nearest/bilinear bins).
+    float* const su_row = su_.data();
+    float* const sv_row = sv_.data();
     double sum_all = 0.0;
     const float dsu = I[0], dsv = I[3];
+    const float jbn = jb / 255.f;
     for (int i = 0; i < H; ++i) {
       const float vs = i + 0.5f;
       // coords at j=0 (us = 0.5)
@@ -185,23 +225,9 @@ void augment_record(uint8_t* rec, const AugSpec& a, uint64_t sample_key) {
       int j_in1 = static_cast<int>(std::floor(std::min(jhi, float(W - 1))));
       if (j_in1 < j_in0) { j_in0 = W; j_in1 = W - 1; }  // empty interior
 
-      float* out_row = &warped[static_cast<size_t>(i) * W * 3];
-      auto checked_px = [&](int jj, float suj, float svj) {
-        const int u0 = static_cast<int>(std::floor(suj));
-        const int v0 = static_cast<int>(std::floor(svj));
-        const float fu = suj - u0, fv = svj - v0;
-        float* out = out_row + jj * 3;
-        for (int ch = 0; ch < 3; ++ch) {
-          auto px = [&](int vv, int uu) -> float {
-            if (uu < 0 || uu >= W || vv < 0 || vv >= H) return 0.f;
-            return img[(static_cast<size_t>(vv) * W + uu) * 3 + ch];
-          };
-          out[ch] = (px(v0, u0) * (1 - fu) * (1 - fv)
-                     + px(v0, u0 + 1) * fu * (1 - fv)
-                     + px(v0 + 1, u0) * (1 - fu) * fv
-                     + px(v0 + 1, u0 + 1) * fu * fv) * (jb / 255.f);
-        }
-      };
+      float* const out_r = wr + static_cast<size_t>(i) * W;
+      float* const out_g = wg + static_cast<size_t>(i) * W;
+      float* const out_b = wb + static_cast<size_t>(i) * W;
       // exact per-pixel coords (incremental accumulation drifts across
       // floor-bin boundaries and diverges from the jax oracle)
       auto coord = [&](int jj, float& suj, float& svj) {
@@ -209,15 +235,108 @@ void augment_record(uint8_t* rec, const AugSpec& a, uint64_t sample_key) {
         suj = I[0] * us + I[1] * vs + I[2] - 0.5f;
         svj = I[3] * us + I[4] * vs + I[5] - 0.5f;
       };
-      float suj, svj;
-      for (int j = 0; j < std::min(j_in0, W); ++j) {
-        coord(j, suj, svj);
-        checked_px(j, suj, svj);
+      auto checked_px = [&](int jj, float suj, float svj) {
+        const int u0 = static_cast<int>(std::floor(suj));
+        const int v0 = static_cast<int>(std::floor(svj));
+        const float fu = suj - u0, fv = svj - v0;
+        auto px = [&](int vv, int uu, int ch) -> float {
+          if (uu < 0 || uu >= W || vv < 0 || vv >= H) return 0.f;
+          return img[(static_cast<size_t>(vv) * W + uu) * 3 + ch];
+        };
+        out_r[jj] = (px(v0, u0, 0) * (1 - fu) * (1 - fv)
+                     + px(v0, u0 + 1, 0) * fu * (1 - fv)
+                     + px(v0 + 1, u0, 0) * (1 - fu) * fv
+                     + px(v0 + 1, u0 + 1, 0) * fu * fv) * jbn;
+        out_g[jj] = (px(v0, u0, 1) * (1 - fu) * (1 - fv)
+                     + px(v0, u0 + 1, 1) * fu * (1 - fv)
+                     + px(v0 + 1, u0, 1) * (1 - fu) * fv
+                     + px(v0 + 1, u0 + 1, 1) * fu * fv) * jbn;
+        out_b[jj] = (px(v0, u0, 2) * (1 - fu) * (1 - fv)
+                     + px(v0, u0 + 1, 2) * fu * (1 - fv)
+                     + px(v0 + 1, u0, 2) * (1 - fu) * fv
+                     + px(v0 + 1, u0 + 1, 2) * fu * fv) * jbn;
+      };
+      for (int jj = 0; jj < W; ++jj) coord(jj, su_row[jj], sv_row[jj]);
+      for (int j = 0; j < std::min(j_in0, W); ++j)
+        checked_px(j, su_row[j], sv_row[j]);
+      int j = j_in0;
+#if defined(__AVX2__) && defined(__FMA__)
+      // Branch-free interior, 8 px/iteration. Gathers load 4 bytes per tap
+      // pair; the extra bytes they touch stay inside the image field (the
+      // interior span bounds u0+1 <= W-2, v0+1 <= H-1) or its 8-byte field
+      // padding, never outside the record.
+      if (j + 7 <= j_in1) {
+        const __m256i vff = _mm256_set1_epi32(0xFF);
+        const __m256 vone = _mm256_set1_ps(1.f);
+        const __m256 vjbn = _mm256_set1_ps(jbn);
+        const __m256i vWi = _mm256_set1_epi32(W);
+        const __m256i v3 = _mm256_set1_epi32(3);
+        const __m256i vW3 = _mm256_set1_epi32(W * 3);
+        const __m256i v4 = _mm256_set1_epi32(4);
+        const int* base = reinterpret_cast<const int*>(img);
+        for (; j + 7 <= j_in1; j += 8) {
+          const __m256 suv = _mm256_loadu_ps(su_row + j);
+          const __m256 svv = _mm256_loadu_ps(sv_row + j);
+          const __m256i u0 = _mm256_cvttps_epi32(suv);  // su >= 0 interior
+          const __m256i v0 = _mm256_cvttps_epi32(svv);
+          const __m256 fu = _mm256_sub_ps(suv, _mm256_cvtepi32_ps(u0));
+          const __m256 fv = _mm256_sub_ps(svv, _mm256_cvtepi32_ps(v0));
+          const __m256 gu = _mm256_sub_ps(vone, fu);
+          const __m256 gv = _mm256_sub_ps(vone, fv);
+          const __m256 w00 = _mm256_mul_ps(gu, gv);
+          const __m256 w01 = _mm256_mul_ps(fu, gv);
+          const __m256 w10 = _mm256_mul_ps(gu, fv);
+          const __m256 w11 = _mm256_mul_ps(fu, fv);
+          const __m256i addr0 = _mm256_mullo_epi32(
+              _mm256_add_epi32(_mm256_mullo_epi32(v0, vWi), u0), v3);
+          const __m256i addr1 = _mm256_add_epi32(addr0, vW3);
+          // byte-scale gathers: gA/gC = taps at u0 (3 ch + next px ch0),
+          // gB/gD = taps at u0+1 ch1..2
+          const __m256i gA = _mm256_i32gather_epi32(base, addr0, 1);
+          const __m256i gB = _mm256_i32gather_epi32(
+              base, _mm256_add_epi32(addr0, v4), 1);
+          const __m256i gC = _mm256_i32gather_epi32(base, addr1, 1);
+          const __m256i gD = _mm256_i32gather_epi32(
+              base, _mm256_add_epi32(addr1, v4), 1);
+          const __m256 a0 = _mm256_cvtepi32_ps(_mm256_and_si256(gA, vff));
+          const __m256 a1 = _mm256_cvtepi32_ps(
+              _mm256_and_si256(_mm256_srli_epi32(gA, 8), vff));
+          const __m256 a2 = _mm256_cvtepi32_ps(
+              _mm256_and_si256(_mm256_srli_epi32(gA, 16), vff));
+          const __m256 a3 = _mm256_cvtepi32_ps(_mm256_srli_epi32(gA, 24));
+          const __m256 b4 = _mm256_cvtepi32_ps(_mm256_and_si256(gB, vff));
+          const __m256 b5 = _mm256_cvtepi32_ps(
+              _mm256_and_si256(_mm256_srli_epi32(gB, 8), vff));
+          const __m256 d0 = _mm256_cvtepi32_ps(_mm256_and_si256(gC, vff));
+          const __m256 d1 = _mm256_cvtepi32_ps(
+              _mm256_and_si256(_mm256_srli_epi32(gC, 8), vff));
+          const __m256 d2 = _mm256_cvtepi32_ps(
+              _mm256_and_si256(_mm256_srli_epi32(gC, 16), vff));
+          const __m256 d3 = _mm256_cvtepi32_ps(_mm256_srli_epi32(gC, 24));
+          const __m256 e4 = _mm256_cvtepi32_ps(_mm256_and_si256(gD, vff));
+          const __m256 e5 = _mm256_cvtepi32_ps(
+              _mm256_and_si256(_mm256_srli_epi32(gD, 8), vff));
+          __m256 tr = _mm256_mul_ps(a0, w00);
+          tr = _mm256_fmadd_ps(a3, w01, tr);
+          tr = _mm256_fmadd_ps(d0, w10, tr);
+          tr = _mm256_fmadd_ps(d3, w11, tr);
+          __m256 tg = _mm256_mul_ps(a1, w00);
+          tg = _mm256_fmadd_ps(b4, w01, tg);
+          tg = _mm256_fmadd_ps(d1, w10, tg);
+          tg = _mm256_fmadd_ps(e4, w11, tg);
+          __m256 tb = _mm256_mul_ps(a2, w00);
+          tb = _mm256_fmadd_ps(b5, w01, tb);
+          tb = _mm256_fmadd_ps(d2, w10, tb);
+          tb = _mm256_fmadd_ps(e5, w11, tb);
+          _mm256_storeu_ps(out_r + j, _mm256_mul_ps(tr, vjbn));
+          _mm256_storeu_ps(out_g + j, _mm256_mul_ps(tg, vjbn));
+          _mm256_storeu_ps(out_b + j, _mm256_mul_ps(tb, vjbn));
+        }
       }
-      // branch-free interior
-      const float jbn = jb / 255.f;
-      for (int j = j_in0; j <= j_in1; ++j) {
-        coord(j, suj, svj);
+#endif
+      // scalar interior (non-AVX2 builds + the <8 px vector tail)
+      for (; j <= j_in1; ++j) {
+        const float suj = su_row[j], svj = sv_row[j];
         const int u0 = static_cast<int>(suj);
         const int v0 = static_cast<int>(svj);
         const float fu = suj - u0, fv = svj - v0;
@@ -225,51 +344,129 @@ void augment_record(uint8_t* rec, const AugSpec& a, uint64_t sample_key) {
         const float w10 = (1 - fu) * fv, w11 = fu * fv;
         const uint8_t* r0 = img + (static_cast<size_t>(v0) * W + u0) * 3;
         const uint8_t* r1 = r0 + static_cast<size_t>(W) * 3;
-        float* out = out_row + j * 3;
-        out[0] = (r0[0] * w00 + r0[3] * w01 + r1[0] * w10 + r1[3] * w11) * jbn;
-        out[1] = (r0[1] * w00 + r0[4] * w01 + r1[1] * w10 + r1[4] * w11) * jbn;
-        out[2] = (r0[2] * w00 + r0[5] * w01 + r1[2] * w10 + r1[5] * w11) * jbn;
+        out_r[j] = (r0[0] * w00 + r0[3] * w01 + r1[0] * w10 + r1[3] * w11) * jbn;
+        out_g[j] = (r0[1] * w00 + r0[4] * w01 + r1[1] * w10 + r1[4] * w11) * jbn;
+        out_b[j] = (r0[2] * w00 + r0[5] * w01 + r1[2] * w10 + r1[5] * w11) * jbn;
       }
-      for (int j = j_in1 + 1; j < W; ++j) {
-        coord(j, suj, svj);
-        checked_px(j, suj, svj);
+      for (int jb_ = j_in1 + 1; jb_ < W; ++jb_)
+        checked_px(jb_, su_row[jb_], sv_row[jb_]);
+      float sr = 0.f, sg = 0.f, sb = 0.f;
+      for (int k = 0; k < W; ++k) {
+        sr += out_r[k];
+        sg += out_g[k];
+        sb += out_b[k];
       }
-      float row_sum = 0.f;
-      for (int k = 0; k < W * 3; ++k) row_sum += out_row[k];
-      sum_all += row_sum;
+      sum_all += static_cast<double>(sr) + sg + sb;
     }
-    // contrast about the (brightened) mean, saturation about per-pixel gray
-    const double n = static_cast<double>(H) * W * 3;
+    RDTP_PHASE_END(0)
+    RDTP_PHASE_BEGIN
+    // contrast about the (brightened) mean, saturation about per-pixel gray;
+    // SoA planes in, HWC uint8 out. For y >= 0, (int)(y + 0.5f) == lround(y)
+    // including half-way ties, so stored bytes match the previous lround
+    // path bit-for-bit.
+    const double n = static_cast<double>(npx) * 3;
     const float mean = static_cast<float>(sum_all / n);
-    const float k255 = 255.f;
-    for (size_t p = 0; p < static_cast<size_t>(H) * W; ++p) {
-      float* v = &warped[p * 3];
-      float r = mean + (v[0] - mean) * jc;
-      float g = mean + (v[1] - mean) * jc;
-      float b = mean + (v[2] - mean) * jc;
-      const float gray = (r + g + b) / 3.f;
-      r = gray + (r - gray) * js;
-      g = gray + (g - gray) * js;
-      b = gray + (b - gray) * js;
-      img[p * 3 + 0] = static_cast<uint8_t>(std::lround(std::clamp(r, 0.f, 1.f) * k255));
-      img[p * 3 + 1] = static_cast<uint8_t>(std::lround(std::clamp(g, 0.f, 1.f) * k255));
-      img[p * 3 + 2] = static_cast<uint8_t>(std::lround(std::clamp(b, 0.f, 1.f) * k255));
+    size_t p = 0;
+#if defined(__AVX2__) && defined(__FMA__)
+    {
+      const __m256 vmean = _mm256_set1_ps(mean);
+      const __m256 vjc = _mm256_set1_ps(jc);
+      const __m256 vjs = _mm256_set1_ps(js);
+      const __m256 vzero = _mm256_setzero_ps();
+      const __m256 vone = _mm256_set1_ps(1.f);
+      const __m256 v255 = _mm256_set1_ps(255.f);
+      const __m256 vhalf = _mm256_set1_ps(0.5f);
+      const __m256 vthree = _mm256_set1_ps(3.f);
+      alignas(32) int ir[8], ig[8], ib[8];
+      for (; p + 8 <= npx; p += 8) {
+        const __m256 r0 = _mm256_fmadd_ps(
+            _mm256_sub_ps(_mm256_loadu_ps(wr + p), vmean), vjc, vmean);
+        const __m256 g0 = _mm256_fmadd_ps(
+            _mm256_sub_ps(_mm256_loadu_ps(wg + p), vmean), vjc, vmean);
+        const __m256 b0 = _mm256_fmadd_ps(
+            _mm256_sub_ps(_mm256_loadu_ps(wb + p), vmean), vjc, vmean);
+        const __m256 gray =
+            _mm256_div_ps(_mm256_add_ps(_mm256_add_ps(r0, g0), b0), vthree);
+        auto finish = [&](__m256 c0) {
+          __m256 c = _mm256_fmadd_ps(_mm256_sub_ps(c0, gray), vjs, gray);
+          c = _mm256_min_ps(_mm256_max_ps(c, vzero), vone);
+          return _mm256_cvttps_epi32(
+              _mm256_add_ps(_mm256_mul_ps(c, v255), vhalf));
+        };
+        _mm256_store_si256(reinterpret_cast<__m256i*>(ir), finish(r0));
+        _mm256_store_si256(reinterpret_cast<__m256i*>(ig), finish(g0));
+        _mm256_store_si256(reinterpret_cast<__m256i*>(ib), finish(b0));
+        uint8_t* dst = img + p * 3;
+        for (int k = 0; k < 8; ++k) {
+          dst[k * 3 + 0] = static_cast<uint8_t>(ir[k]);
+          dst[k * 3 + 1] = static_cast<uint8_t>(ig[k]);
+          dst[k * 3 + 2] = static_cast<uint8_t>(ib[k]);
+        }
+      }
     }
+#endif
+    for (; p < npx; ++p) {
+      const float r0 = mean + (wr[p] - mean) * jc;
+      const float g0 = mean + (wg[p] - mean) * jc;
+      const float b0 = mean + (wb[p] - mean) * jc;
+      const float gray = (r0 + g0 + b0) / 3.f;
+      const float r = std::clamp(gray + (r0 - gray) * js, 0.f, 1.f);
+      const float g = std::clamp(gray + (g0 - gray) * js, 0.f, 1.f);
+      const float b = std::clamp(gray + (b0 - gray) * js, 0.f, 1.f);
+      img[p * 3 + 0] = static_cast<uint8_t>(r * 255.f + 0.5f);
+      img[p * 3 + 1] = static_cast<uint8_t>(g * 255.f + 0.5f);
+      img[p * 3 + 2] = static_cast<uint8_t>(b * 255.f + 0.5f);
+    }
+    RDTP_PHASE_END(1)
   }
 
   // ---- lidar_depth: nearest warp (no half-pixel), values / s
   {
+    RDTP_PHASE_BEGIN
     float* d = reinterpret_cast<float*>(rec + a.lidar_depth_off);
-    thread_local std::vector<float> out;
-    out.assign(static_cast<size_t>(H) * W, 0.f);
+    thread_local std::vector<float> out, lsu_, lsv_;
+    out.assign(npx, 0.f);
+    lsu_.resize(W); lsv_.resize(W);
+    float* const lsu = lsu_.data();
+    float* const lsv = lsv_.data();
     const float inv_s = 1.f / s;
     for (int i = 0; i < H; ++i) {
       const float vs = i + 0.5f;
       float* orow = &out[static_cast<size_t>(i) * W];
-      for (int j = 0; j < W; ++j) {
-        const float us = j + 0.5f;
-        const float su = I[0] * us + I[1] * vs + I[2];
-        const float sv = I[3] * us + I[4] * vs + I[5];
+      // per-row coords by the one scalar expression (see rgb warp note:
+      // vector recomputation would flip floor bins by a ulp)
+      for (int jj = 0; jj < W; ++jj) {
+        const float us = jj + 0.5f;
+        lsu[jj] = I[0] * us + I[1] * vs + I[2];
+        lsv[jj] = I[3] * us + I[4] * vs + I[5];
+      }
+      int j = 0;
+#if defined(__AVX2__) && defined(__FMA__)
+      {
+        const __m256i vWi = _mm256_set1_epi32(W);
+        const __m256i vHi = _mm256_set1_epi32(H);
+        const __m256i vm1 = _mm256_set1_epi32(-1);
+        const __m256 vinv = _mm256_set1_ps(inv_s);
+        for (; j + 7 < W; j += 8) {
+          const __m256 su = _mm256_loadu_ps(lsu + j);
+          const __m256 sv = _mm256_loadu_ps(lsv + j);
+          const __m256i u = _mm256_cvttps_epi32(_mm256_floor_ps(su));
+          const __m256i v = _mm256_cvttps_epi32(_mm256_floor_ps(sv));
+          const __m256i in_u = _mm256_and_si256(
+              _mm256_cmpgt_epi32(u, vm1), _mm256_cmpgt_epi32(vWi, u));
+          const __m256i in_v = _mm256_and_si256(
+              _mm256_cmpgt_epi32(v, vm1), _mm256_cmpgt_epi32(vHi, v));
+          const __m256i mask = _mm256_and_si256(in_u, in_v);
+          const __m256i addr = _mm256_and_si256(
+              _mm256_add_epi32(_mm256_mullo_epi32(v, vWi), u), mask);
+          const __m256 vals = _mm256_mask_i32gather_ps(
+              _mm256_setzero_ps(), d, addr, _mm256_castsi256_ps(mask), 4);
+          _mm256_storeu_ps(orow + j, _mm256_mul_ps(vals, vinv));
+        }
+      }
+#endif
+      for (; j < W; ++j) {
+        const float su = lsu[j], sv = lsv[j];
         const int u = static_cast<int>(std::floor(su));
         const int v = static_cast<int>(std::floor(sv));
         if (static_cast<unsigned>(u) < static_cast<unsigned>(W)
@@ -278,8 +475,10 @@ void augment_record(uint8_t* rec, const AugSpec& a, uint64_t sample_key) {
       }
     }
     std::memcpy(d, out.data(), out.size() * sizeof(float));
+    RDTP_PHASE_END(2)
   }
 
+  RDTP_PHASE_BEGIN
   // ---- lidar_points: X / s (consistency with the divided GT map)
   {
     float* p = reinterpret_cast<float*>(rec + a.lidar_points_off);
@@ -307,6 +506,7 @@ void augment_record(uint8_t* rec, const AugSpec& a, uint64_t sample_key) {
     }
     std::memcpy(K, out, sizeof(out));
   }
+  RDTP_PHASE_END(3)
 }
 
 struct Loader {
