@@ -36,7 +36,28 @@ class SceneConfig:
     sweep_dt: float = 0.075  # nuScenes radar ≈ 13 Hz
     radar_height_sigma: float = 0.4  # radar elevation uncertainty (m)
     radar_range_sigma: float = 0.15
-    radar_outlier_frac: float = 0.12  # multipath/clutter fraction
+    radar_outlier_frac: float = 0.12  # uniform clutter fraction
+    # Radar pathologies at nuScenes-like severity (VERDICT r2 #2 — the
+    # two-stage filter exists to remove exactly these; with only benign
+    # uniform clutter it had nothing to earn its keep on):
+    # * azimuth smearing: automotive radar azimuth resolution is degrees —
+    #   returns land laterally displaced, often onto the WRONG object or
+    #   background, with error growing with range (r·sin σ_az).
+    radar_azim_sigma: float = 0.035  # rad (~2°)
+    # * multipath ghosts: double/triple-bounce returns at k× the true range
+    #   along the same bearing — project onto the object but report far
+    #   depth. The paper's central failure mode (SURVEY.md §3.4).
+    radar_multipath_frac: float = 0.25  # fraction of true returns ghosted
+    radar_ghost_range: tuple = (1.5, 2.4)  # ghost at r·U(range)
+    # * object-correlated clutter: under-vehicle/behind-object returns at
+    #   z ∈ (z_obj, z_obj + spread) concentrated around object bearings.
+    radar_clutter_per_object: float = 1.5  # Poisson mean per object
+    radar_clutter_spread: float = 12.0  # m beyond the object
+    # * per-sweep miscalibration: ego-compensation error the STORED
+    #   transform does not know about, growing with sweep age — older
+    #   sweeps reproject with systematic lateral/longitudinal offsets.
+    sweep_miscal_yaw: float = 0.0025  # rad per sweep step
+    sweep_miscal_trans: float = 0.05  # m per sweep step
     lidar_rows: int = 64
     lidar_cols: int = 640
     camera_height: float = 1.5  # camera above ground (m)
@@ -203,7 +224,11 @@ class SyntheticNuScenes:
 
     def _radar_points_world(self, world, rng) -> np.ndarray:
         """Radar returns in the *reference-time camera frame*: clusters on box
-        faces at near-sensor height, plus clutter."""
+        faces at near-sensor height, degraded by nuScenes-severity pathologies
+        (azimuth smearing, multipath ghosts along the bearing, object-
+        correlated clutter, uniform clutter). The two-stage filter's job is to
+        reject the ghost/clutter population using stage-1 depth (SURVEY.md
+        §3.4); see SceneConfig for the knobs."""
         cfg = self.scene
         cx_, cz_, half_w_, h_, _ = world
         pts = []
@@ -220,16 +245,54 @@ class SyntheticNuScenes:
             pts = np.concatenate(pts, 0)
         else:
             pts = np.zeros((0, 3))
+
+        # azimuth smearing on the true returns: perturb bearing, keep range —
+        # lateral error grows ~ r·σ_az, sliding returns off their object
+        if len(pts):
+            r = np.hypot(pts[:, 0], pts[:, 2])
+            az = np.arctan2(pts[:, 0], pts[:, 2])
+            az = az + rng.normal(0, cfg.radar_azim_sigma, len(pts))
+            pts[:, 0] = r * np.sin(az)
+            pts[:, 2] = r * np.cos(az)
+
+        extras = [pts]
+        # multipath ghosts: same bearing, k× range (double/triple bounce)
+        if len(pts):
+            n_mp = int(np.ceil(len(pts) * cfg.radar_multipath_frac))
+            sel = rng.choice(len(pts), size=min(n_mp, len(pts)), replace=False)
+            src = pts[sel]
+            gain = rng.uniform(*cfg.radar_ghost_range, len(src))
+            ghosts = src.copy()
+            ghosts[:, 0] *= gain
+            ghosts[:, 2] *= gain
+            ghosts[:, 1] = rng.normal(cfg.camera_height - 0.5,
+                                      cfg.radar_height_sigma, len(src))
+            extras.append(ghosts)
+        # object-correlated clutter: returns just behind/through each object
+        # (under-vehicle ground bounce, transmission through gaps)
+        occ = []
+        for i in range(len(cx_)):
+            k = rng.poisson(cfg.radar_clutter_per_object)
+            if k == 0:
+                continue
+            x = rng.uniform(cx_[i] - 1.5 * half_w_[i],
+                            cx_[i] + 1.5 * half_w_[i], k)
+            z = cz_[i] + rng.uniform(0.5, cfg.radar_clutter_spread, k)
+            y = rng.normal(cfg.camera_height - 0.3, 0.5, k)
+            occ.append(np.stack([x, y, z], -1))
+        if occ:
+            extras.append(np.concatenate(occ, 0))
+        # uniform clutter
         n_out = int(len(pts) * cfg.radar_outlier_frac) + 2
-        outliers = np.stack(
+        extras.append(np.stack(
             [
                 rng.uniform(*cfg.lateral_range, n_out),
                 rng.normal(cfg.camera_height - 0.5, 0.8, n_out),
                 rng.uniform(2.0, cfg.depth_range[1], n_out),
             ],
             -1,
-        )
-        return np.concatenate([pts, outliers], 0).astype(np.float32)
+        ))
+        return np.concatenate(extras, 0).astype(np.float32)
 
     # -------------------------------------------------------------- samples
 
@@ -293,12 +356,20 @@ class SyntheticNuScenes:
             T_ref_from_sweepcam = _se3(_rot_y(dyaw), np.array([0, 0, -dz], np.float32))
             T = T_ref_from_sweepcam @ T_cam_sensor
             sweep_T[j] = T
+            # Per-sweep miscalibration (VERDICT r2 #2): points are expressed
+            # through the TRUE pose T·E_j, but the sample stores only T — the
+            # ego-compensation error E_j (yaw + translation drift growing
+            # with sweep age, like real interpolated odometry) reprojects
+            # older sweeps with systematic offsets the filter must survive.
+            err_yaw = rng.normal(0, cfg.sweep_miscal_yaw * j)
+            err_t = rng.normal(0, cfg.sweep_miscal_trans * j, 3).astype(np.float32)
+            T_true = T @ _se3(_rot_y(err_yaw), err_t)
             # choose a random subset of world returns per sweep (radar flickers)
             m = min(pr, len(radar_world))
             sel = rng.choice(len(radar_world), size=m, replace=False)
             pts_ref = radar_world[sel]
-            # express in sweep sensor frame: p_sensor = inv(T) @ p_ref
-            Tin = np.linalg.inv(T)
+            # express in sweep sensor frame: p_sensor = inv(T_true) @ p_ref
+            Tin = np.linalg.inv(T_true)
             p = (Tin[:3, :3] @ pts_ref.T).T + Tin[:3, 3]
             p += rng.normal(0, 0.02, p.shape)
             sweep_pts[j, :m] = p

@@ -1,0 +1,125 @@
+"""Coarse-vs-refined evaluation of a trained two-stage run (VERDICT r2 #2
+evidence): computes the full metric set for BOTH MultiStageNet outputs
+(D1 = coarse stage-1 depth, D2 = refined stage-2 depth after radar outlier
+filtering — SURVEY.md §3.4) on a packed val split, plus per-pixel evidence:
+the same metrics restricted to pixels NEAR PROJECTED RADAR RETURNS, where
+the filter actually acts. If the filter pays, D2 < D1 overall and the gap
+widens on radar-local pixels.
+
+Usage:
+  python scripts/eval_two_stage.py --run /tmp/r3_ms_abs --data-root /tmp/r3data \
+      [--filter-mode abs] [--batch 32] [--height 450 --width 800 --sweeps 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--run", required=True)
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--height", type=int, default=450)
+    p.add_argument("--width", type=int, default=800)
+    p.add_argument("--sweeps", type=int, default=5)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--filter-mode", default="abs", choices=["abs", "rel", "or"])
+    p.add_argument("--abs-threshold", type=float, default=2.0)
+    p.add_argument("--rel-threshold", type=float, default=0.15)
+    p.add_argument("--radius", type=int, default=4,
+                   help="pixels around each projected radar return counted "
+                        "as 'radar-local' for the per-pixel breakdown")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from radar_depth_tpu.config import DataConfig, ModelConfig, TrainConfig
+    from radar_depth_tpu.data.packed import PackedDataset
+    from radar_depth_tpu.inference import Predictor
+    from radar_depth_tpu.metrics import compute_metric_sums, finalize_metrics
+    from radar_depth_tpu.ops.preprocess import (
+        PreprocessConfig,
+        pack_model_inputs,
+        prepare_eval_batch,
+    )
+
+    cfg = TrainConfig(
+        data=DataConfig(dataset="packed", data_root=args.data_root,
+                        height=args.height, width=args.width,
+                        num_sweeps=args.sweeps),
+        model=ModelConfig(arch="resnet18_multistage", dtype=args.dtype,
+                          filter_mode=args.filter_mode,
+                          abs_threshold=args.abs_threshold,
+                          rel_threshold=args.rel_threshold),
+        batch_size=args.batch,
+    )
+    pred = Predictor.from_run(args.run, cfg)
+    spec = cfg.data.sample_spec()
+    pre = PreprocessConfig(spec=spec)
+
+    @jax.jit
+    def infer_both(params, batch_stats, batch):
+        prepared = prepare_eval_batch(batch, pre)
+        inputs = pack_model_inputs(prepared, pred.arch_spec.input_kind)
+        coarse, refined = pred.model.apply(
+            {"params": params, "batch_stats": batch_stats}, *inputs,
+            train=False)
+        radar = prepared["radar"]  # (B, H, W, 1) rasterized returns
+        return coarse, refined, prepared["target"], radar
+
+    ds = PackedDataset(os.path.join(args.data_root, "val"))
+    n = len(ds)
+    sums = {"coarse": None, "refined": None,
+            "coarse_radar_local": None, "refined_radar_local": None}
+
+    def acc(key, s):
+        sums[key] = s if sums[key] is None else jax.tree_util.tree_map(
+            lambda a, b: a + b, sums[key], s)
+
+    r = args.radius
+    for i0 in range(0, n - n % args.batch, args.batch):
+        batch = {k: jnp.asarray(v)
+                 for k, v in ds.batch(range(i0, i0 + args.batch)).items()}
+        coarse, refined, target, radar = infer_both(
+            pred.params, pred.batch_stats, batch)
+        # radar-local mask: dilate the radar-return pixels by `radius`
+        # (max-pool with a (2r+1)^2 window)
+        occ = (radar > 0).astype(jnp.float32)
+        local = jax.lax.reduce_window(
+            occ, 0.0, jax.lax.max, (1, 2 * r + 1, 2 * r + 1, 1),
+            (1, 1, 1, 1), "SAME") > 0
+        t_local = jnp.where(local, target, 0.0)  # masked metrics skip zeros
+        acc("coarse", compute_metric_sums(coarse, target, "sample"))
+        acc("refined", compute_metric_sums(refined, target, "sample"))
+        acc("coarse_radar_local", compute_metric_sums(coarse, t_local, "sample"))
+        acc("refined_radar_local",
+            compute_metric_sums(refined, t_local, "sample"))
+
+    out = {k: finalize_metrics(jax.tree_util.tree_map(np.asarray, v))
+           for k, v in sums.items()}
+    print(f"run={args.run} filter={args.filter_mode} "
+          f"(abs={args.abs_threshold}, rel={args.rel_threshold}) "
+          f"val n={n - n % args.batch}")
+    keys = ["rmse", "mae", "absrel", "delta1"]
+    print(f"{'output':24s} " + " ".join(f"{k:>8s}" for k in keys))
+    for name in ("coarse", "refined", "coarse_radar_local",
+                 "refined_radar_local"):
+        row = out[name]
+        print(f"{name:24s} " + " ".join(f"{row[k]:8.4f}" for k in keys))
+    print(json.dumps({k: {m: round(float(v[m]), 5) for m in keys}
+                      for k, v in out.items()}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -188,6 +188,23 @@ def convert_sample(raw: dict, spec: schema.SampleSpec, key_map: dict,
     return sample
 
 
+TAG_CANDIDATES = ["tag", "split_tag", "scene_description", "description",
+                  "scene_desc", "meta"]
+
+
+def _extract_tag(raw: dict):
+    """Day/night split tag from pickle metadata (nuScenes scene descriptions
+    mention 'night'; the paper reports the splits separately — SURVEY.md §6).
+    Returns 'day'/'night', or None when the pickle carries no usable meta."""
+    for k in TAG_CANDIDATES:
+        v = raw.get(k)
+        if isinstance(v, dict):
+            v = v.get("description") or v.get("tag")
+        if isinstance(v, str) and v:
+            return "night" if "night" in v.lower() else "day"
+    return None
+
+
 def _list_pickles(src: str):
     out = []
     for root, _, files in os.walk(src):
@@ -238,18 +255,31 @@ def main() -> int:
             continue
         stats: dict = {}
 
-        def gen():
+        # Day/night tags: decide from the first pickle whether the source
+        # carries scene metadata; if yes, stream tags alongside samples into
+        # the per-shard sidecars (--eval-splits then works on imported data).
+        with open(paths[0], "rb") as f:
+            has_tags = _extract_tag(pickle.load(f)) is not None
+
+        def pairs():
             for path in paths:
                 with open(path, "rb") as f:
                     raw = pickle.load(f)
-                yield convert_sample(raw, spec, key_map, stats)
+                tag = _extract_tag(raw) or "day"
+                yield convert_sample(raw, spec, key_map, stats), tag
 
         out_dir = os.path.join(args.out, split)
-        shards = write_shards(out_dir, gen(),
-                              max_shard_bytes=args.max_shard_bytes)
+        import itertools
+
+        s_it, t_it = itertools.tee(pairs())  # interleaved ⇒ O(1) buffering
+        shards = write_shards(
+            out_dir, (s for s, _ in s_it),
+            tags=(t for _, t in t_it) if has_tags else None,
+            max_shard_bytes=args.max_shard_bytes)
         size_mb = sum(os.path.getsize(q) for q in shards) / 1e6
         print(f"{split}: {len(paths)} pickles → {out_dir} "
-              f"({len(shards)} shard(s), {size_mb:.0f} MB); "
+              f"({len(shards)} shard(s), {size_mb:.0f} MB, "
+              f"tags={'yes' if has_tags else 'no'}); "
               f"drops/fallbacks: {stats or 'none'}")
     return 0
 
