@@ -337,3 +337,27 @@ def test_streaming_writer_is_lazy(tmp_path):
     assert live["max"] == 1
     r = packed.PackedDataset(str(tmp_path / "s"), use_native=False)
     assert len(r) == 6 and len(r.paths) == 6
+
+
+def test_multishard_augmented_loader_deterministic(sharded_split):
+    """Worker-side augmentation over a SHARD DIRECTORY delivers bitwise
+    identical batches regardless of thread count (claim-order contract +
+    per-sample RNG keyed on global index, crossing shard boundaries)."""
+    if not packed.native_available():
+        pytest.skip("librdtp unavailable")
+    from radar_depth_tpu.ops.augment import AugmentConfig
+
+    _, shard_dir, _, _, _ = sharded_split
+    runs = []
+    for threads in (1, 3):
+        ds = packed.PackedDataset(shard_dir, use_native=True)
+        loader = packed.NativeBatchLoader(ds, 4, shuffle=True, seed=5,
+                                          threads=threads,
+                                          augment=AugmentConfig())
+        batches = [next(loader) for _ in range(4)]
+        loader.close()
+        ds.close()
+        runs.append(batches)
+    for a, b in zip(*runs):
+        for k in SAMPLE_KEYS:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
