@@ -38,6 +38,10 @@ def main() -> int:
     p.add_argument("--radius", type=int, default=4,
                    help="pixels around each projected radar return counted "
                         "as 'radar-local' for the per-pixel breakdown")
+    p.add_argument("--metric-avg", default="batch",
+                   choices=["batch", "sample"],
+                   help="averaging convention; 'batch' matches the trainer "
+                        "CSVs / reference AverageMeter")
     args = p.parse_args()
 
     import jax
@@ -99,11 +103,11 @@ def main() -> int:
             occ, 0.0, jax.lax.max, (1, 2 * r + 1, 2 * r + 1, 1),
             (1, 1, 1, 1), "SAME") > 0
         t_local = jnp.where(local, target, 0.0)  # masked metrics skip zeros
-        acc("coarse", compute_metric_sums(coarse, target, "sample"))
-        acc("refined", compute_metric_sums(refined, target, "sample"))
-        acc("coarse_radar_local", compute_metric_sums(coarse, t_local, "sample"))
+        acc("coarse", compute_metric_sums(coarse, target, args.metric_avg))
+        acc("refined", compute_metric_sums(refined, target, args.metric_avg))
+        acc("coarse_radar_local", compute_metric_sums(coarse, t_local, args.metric_avg))
         acc("refined_radar_local",
-            compute_metric_sums(refined, t_local, "sample"))
+            compute_metric_sums(refined, t_local, args.metric_avg))
 
     out = {k: finalize_metrics(jax.tree_util.tree_map(np.asarray, v))
            for k, v in sums.items()}
