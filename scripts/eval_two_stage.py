@@ -27,6 +27,8 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--run", required=True)
     p.add_argument("--data-root", required=True)
+    p.add_argument("--arch", default="resnet18_multistage",
+                   help="the run's arch (e.g. resnet18_multistage_uncertainty)")
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--height", type=int, default=450)
     p.add_argument("--width", type=int, default=800)
@@ -61,7 +63,7 @@ def main() -> int:
         data=DataConfig(dataset="packed", data_root=args.data_root,
                         height=args.height, width=args.width,
                         num_sweeps=args.sweeps),
-        model=ModelConfig(arch="resnet18_multistage", dtype=args.dtype,
+        model=ModelConfig(arch=args.arch, dtype=args.dtype,
                           filter_mode=args.filter_mode,
                           abs_threshold=args.abs_threshold,
                           rel_threshold=args.rel_threshold),
