@@ -85,11 +85,11 @@ class TrainConfig:
     batch_size: int = 8
     # Val-pass batch size (0 = same as batch_size). Eval has no optimizer
     # memory, so larger batches amortize dispatch overhead (NOTES.md).
-    # CAVEAT: with --metric-avg batch the pooling granularity IS the loop
-    # batch (reference Result.evaluate semantics), so changing this changes
-    # the reported rmse/irmse slightly; keep it at the reference batch size
-    # when comparing AverageMeter numbers. --metric-avg sample (default) is
-    # batch-size invariant.
+    # CAVEAT: with --metric-avg batch (the default) the pooling granularity
+    # IS the loop batch (reference Result.evaluate semantics), so changing
+    # this changes the reported rmse/irmse slightly; keep it at the
+    # reference batch size when comparing AverageMeter numbers.
+    # --metric-avg sample is batch-size invariant.
     eval_batch_size: int = 0
     # Native-loader prefetch threads (reference DataLoader num_workers;
     # 0 = default 4). Augmentation runs in these threads (SURVEY.md §3.1).
@@ -98,6 +98,9 @@ class TrainConfig:
     seed: int = 42
     output_dir: str = "runs/default"
     resume: str = ""
+    # Warm start: graft params/batch_stats from a same-arch run's best
+    # checkpoint, fresh optimizer/epoch (vs --resume which restores both).
+    init_from: str = ""
     evaluate: str = ""
     print_freq: int = 10
     val_viz_every: int = 50  # comparison PNG every N val batches (C11)
@@ -134,6 +137,9 @@ def parse_command(argv=None) -> TrainConfig:
                    help="native-loader prefetch threads (the reference's "
                         "DataLoader num_workers; 0 = default 4)")
     p.add_argument("--resume", default="", metavar="CKPT")
+    p.add_argument("--init-from", default="", metavar="RUN",
+                   help="warm-start params from a same-arch run (fresh "
+                        "optimizer/epoch; cf. --resume)")
     p.add_argument("--evaluate", default="", metavar="CKPT")
     p.add_argument("--output-dir", default="runs/default")
     p.add_argument("--print-freq", type=int, default=10)
@@ -215,7 +221,8 @@ def parse_command(argv=None) -> TrainConfig:
         augment=AugmentConfig(enabled=not a.no_augment),
         batch_size=a.batch_size, eval_batch_size=a.eval_batch_size,
         workers=a.workers, epochs=a.epochs, seed=a.seed,
-        output_dir=a.output_dir, resume=a.resume, evaluate=a.evaluate,
+        output_dir=a.output_dir, resume=a.resume, init_from=a.init_from,
+        evaluate=a.evaluate,
         print_freq=a.print_freq, tensorboard=a.tensorboard,
         metric_avg=a.metric_avg, eval_splits=a.eval_splits,
     )

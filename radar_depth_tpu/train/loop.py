@@ -239,6 +239,41 @@ class Trainer:
         self.state = jax.device_put(self.state, replicated_sharding(self.mesh))
         print(f"initialized stage1+stage2 from {path} step {step}")
 
+    def maybe_warm_start(self):
+        """--init-from: graft params/batch_stats from a SAME-ARCH run's best
+        checkpoint while keeping a fresh optimizer and epoch counter —
+        continued training under a new schedule (e.g. matched-budget
+        baselines for the two-phase ablation). Distinct from --resume, which
+        restores the optimizer/epoch/best tracking too."""
+        if not self.cfg.init_from:
+            return
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(self.cfg.init_from)
+        if os.path.basename(path) != "checkpoints":
+            cand = os.path.join(path, "checkpoints")
+            path = cand if os.path.isdir(cand) else path
+        mgr = ocp.CheckpointManager(path)
+        step = mgr.best_step()
+        if step is None:
+            step = mgr.latest_step()
+        mgr.close()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {path}")
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(os.path.join(path, str(step), "default"))
+        src_params = restored["state"]["params"]
+        src_stats = restored["state"]["batch_stats"]
+        if (jax.tree_util.tree_structure(src_params)
+                != jax.tree_util.tree_structure(self.state.params)):
+            raise ValueError(
+                f"--init-from {path}: checkpoint param tree does not match "
+                f"arch {self.cfg.model.arch}")
+        self.state = self.state.replace(params=src_params,
+                                        batch_stats=src_stats)
+        self.state = jax.device_put(self.state, replicated_sharding(self.mesh))
+        print(f"warm-started params from {path} step {step}")
+
     def load_for_evaluate(self):
         state = ckpt_lib.restore_for_evaluate(
             self.cfg.evaluate, jax.tree_util.tree_map(np.asarray, self.state)
@@ -418,6 +453,7 @@ class Trainer:
     def fit(self):
         cfg = self.cfg
         self.maybe_init_from_stage1()
+        self.maybe_warm_start()
         self.maybe_resume()
         for epoch in range(self.start_epoch, cfg.epochs):
             train_m = self.train_epoch(epoch)

@@ -284,3 +284,32 @@ def test_checkpoint_keeps_latest_and_best(tmp_path):
     np.testing.assert_array_equal(state["w"], np.full(4, 4.0, np.float32))
     assert best <= 4.0
     mgr.close()
+
+
+def test_warm_start_init_from(tmp_path):
+    """--init-from grafts a same-arch run's best params with a FRESH
+    optimizer/epoch (vs --resume); mismatched arch trees are rejected."""
+    import dataclasses
+
+    from radar_depth_tpu.train.loop import Trainer
+
+    cfg1 = tiny_config(tmp_path / "run1")
+    Trainer(cfg1).fit()
+
+    cfg2 = dataclasses.replace(tiny_config(tmp_path / "run2"),
+                               init_from=str(tmp_path / "run1"))
+    tr = Trainer(cfg2)
+    before = jax.tree_util.tree_leaves(tr.state.params)[0].copy()
+    tr.maybe_warm_start()
+    after = jax.tree_util.tree_leaves(tr.state.params)[0]
+    assert not np.array_equal(np.asarray(before), np.asarray(after))
+    assert tr.start_epoch == 0  # fresh schedule
+    assert int(tr.state.step) == 0  # fresh optimizer
+
+    # arch-mismatched warm start must be rejected
+    cfg3 = dataclasses.replace(
+        tiny_config(tmp_path / "run3", arch="resnet18_multistage"),
+        init_from=str(tmp_path / "run1"))
+    tr3 = Trainer(cfg3)
+    with pytest.raises(ValueError):
+        tr3.maybe_warm_start()
