@@ -77,9 +77,10 @@ def main() -> int:
     def infer_both(params, batch_stats, batch):
         prepared = prepare_eval_batch(batch, pre)
         inputs = pack_model_inputs(prepared, pred.arch_spec.input_kind)
-        coarse, refined = pred.model.apply(
+        out = pred.model.apply(
             {"params": params, "batch_stats": batch_stats}, *inputs,
             train=False)
+        coarse, refined = out[0], out[1]  # uncertainty variant appends log-vars
         radar = prepared["radar"]  # (B, H, W, 1) rasterized returns
         return coarse, refined, prepared["target"], radar
 
