@@ -82,7 +82,27 @@ def main() -> int:
             train=False)
         coarse, refined = out[0], out[1]  # uncertainty variant appends log-vars
         radar = prepared["radar"]  # (B, H, W, 1) rasterized returns
-        return coarse, refined, prepared["target"], radar
+        # Filter efficacy: replicate the model's keep-mask and classify each
+        # radar pixel as corrupt (disagrees with GT where GT exists) vs clean.
+        from radar_depth_tpu.models.fusion import filter_radar_by_prediction
+
+        kept = filter_radar_by_prediction(
+            radar, coarse, abs_threshold=args.abs_threshold,
+            rel_threshold=args.rel_threshold, mode=args.filter_mode) > 0
+        target = prepared["target"]
+        has_gt = (radar > 0) & (target > 0)
+        err = jnp.abs(radar - target)
+        corrupt = has_gt & (err > 2.0) & (err / jnp.maximum(target, 1e-3) > 0.15)
+        clean = has_gt & ~corrupt
+        eff = {
+            "radar_px": jnp.sum(radar > 0),
+            "gt_px": jnp.sum(has_gt),
+            "corrupt_px": jnp.sum(corrupt),
+            "corrupt_kept": jnp.sum(corrupt & kept),
+            "clean_px": jnp.sum(clean),
+            "clean_kept": jnp.sum(clean & kept),
+        }
+        return coarse, refined, target, radar, eff
 
     ds = PackedDataset(os.path.join(args.data_root, "val"))
     n = len(ds)
@@ -94,11 +114,14 @@ def main() -> int:
             lambda a, b: a + b, sums[key], s)
 
     r = args.radius
+    eff_tot = None
     for i0 in range(0, n - n % args.batch, args.batch):
         batch = {k: jnp.asarray(v)
                  for k, v in ds.batch(range(i0, i0 + args.batch)).items()}
-        coarse, refined, target, radar = infer_both(
+        coarse, refined, target, radar, eff = infer_both(
             pred.params, pred.batch_stats, batch)
+        eff_tot = eff if eff_tot is None else jax.tree_util.tree_map(
+            lambda a, b: a + b, eff_tot, eff)
         # radar-local mask: dilate the radar-return pixels by `radius`
         # (max-pool with a (2r+1)^2 window)
         occ = (radar > 0).astype(jnp.float32)
@@ -123,7 +146,17 @@ def main() -> int:
                  "refined_radar_local"):
         row = out[name]
         print(f"{name:24s} " + " ".join(f"{row[k]:8.4f}" for k in keys))
-    print(json.dumps({k: {m: round(float(v[m]), 5) for m in keys}
+    e = {k: int(v) for k, v in jax.tree_util.tree_map(np.asarray,
+                                                      eff_tot).items()}
+    drop_c = 1 - e["corrupt_kept"] / max(e["corrupt_px"], 1)
+    drop_k = 1 - e["clean_kept"] / max(e["clean_px"], 1)
+    print(f"filter efficacy (GT-checkable radar px {e['gt_px']} of "
+          f"{e['radar_px']}): corrupt {e['corrupt_px']} px, "
+          f"{drop_c:.1%} dropped; clean {e['clean_px']} px, "
+          f"{drop_k:.1%} dropped (false positives)")
+    out["filter_efficacy"] = e
+    print(json.dumps({k: ({m: round(float(v[m]), 5) for m in keys}
+                          if k != "filter_efficacy" else v)
                       for k, v in out.items()}))
     return 0
 
