@@ -42,7 +42,10 @@ def test_eval_metrics_match_across_mesh_sizes():
         sums = jax.tree_util.tree_map(np.asarray, fn(params, stats, batch))
         results.append(sums)
     for k in results[0]:
-        np.testing.assert_allclose(results[0][k], results[1][k], rtol=2e-5,
+        # the default batch convention carries large unnormalized f32 sums
+        # (mse·px ~ 1e9); GSPMD reduction order across mesh sizes moves the
+        # last ~4e-5 — tolerance covers reduction-order noise only.
+        np.testing.assert_allclose(results[0][k], results[1][k], rtol=1e-4,
                                    err_msg=k)
 
 

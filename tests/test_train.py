@@ -146,7 +146,11 @@ def test_validate_splits_day_night(tmp_path):
     from radar_depth_tpu.train.loop import Trainer
 
     base = tiny_config(tmp_path)
+    # sample convention: this test asserts batch-size-INVARIANT metrics
+    # below, a property only the per-sample averaging has (the default
+    # 'batch' mode pools per loop batch like the reference AverageMeter).
     cfg = TrainConfig(**{**base.__dict__,
+                         "metric_avg": "sample",
                          "data": DataConfig(**{**base.data.__dict__,
                                                "num_val": 24})})
     tr = Trainer(cfg)
