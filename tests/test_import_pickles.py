@@ -140,3 +140,34 @@ def test_imported_pickles_train_end_to_end(tmp_path):
     tr.fit()
     assert os.path.exists(os.path.join(cfg.output_dir, "test.csv"))
     assert os.path.exists(os.path.join(cfg.output_dir, "comparison_epoch0.png"))
+
+
+def test_rehearsal_fabricator_roundtrip(tmp_path):
+    """The real-scale rehearsal's fabricated reference-format pickles
+    (900×1600, points + map-only variants, scene descriptions) convert
+    through the production importer: schema-valid samples, tag sidecars,
+    multi-shard output (scripts/rehearse_real_scale.py at unit scale)."""
+    import pickle as pkl
+
+    import rehearse_real_scale as reh
+
+    src = tmp_path / "pickles"
+    src.mkdir()
+    rng = np.random.default_rng(0)
+    for i, (night, as_map) in enumerate(
+            [(False, False), (True, False), (False, True), (True, True)]):
+        s = reh.fabricate_sample(rng, night=night, radar_as_map=as_map)
+        assert s["im"].shape == (900, 1600, 3) and s["im"].dtype == np.uint8
+        with open(src / f"{i:03d}.pkl", "wb") as f:
+            pkl.dump(s, f)
+    _run_import(src, tmp_path / "out", 450, 800,
+                extra=("--max-shard-bytes", "1"))  # force 1 sample/shard
+    spec = schema.SampleSpec(height=450, width=800, num_sweeps=2)
+    ds = PackedDataset(str(tmp_path / "out" / "train"))
+    assert len(ds) == 3 and len(ds.paths) == 3  # multi-shard
+    assert set(ds.tags) <= {"day", "night"} and "night" in ds.tags
+    for i in range(3):
+        schema.validate_sample(ds[i], spec)
+        assert ds[i]["radar_valid"].sum() > 0
+        assert (ds[i]["lidar_depth"] > 0).mean() > 0.005
+    ds.close()
