@@ -74,6 +74,14 @@ class OptimConfig:
     lr_decay_factor: float = 0.1
     criterion: str = "l1"  # l1 | l2
     stage_weights: Tuple[float, float] = (1.0, 1.0)
+    # Gradient accumulation (SURVEY.md §2 parallelism table: "trivial under
+    # jit if needed"): each optimizer step averages gradients over N
+    # consecutive micro-batches of --batch-size (effective batch = N × B)
+    # inside ONE jitted program (lax.scan), so recipes that need a larger
+    # effective batch than HBM allows keep exact SGD semantics. BatchNorm
+    # statistics update sequentially per micro-batch, matching N forward
+    # passes of the reference's loop.
+    grad_accum: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -182,6 +190,10 @@ def parse_command(argv=None) -> TrainConfig:
     p.add_argument("--multistage-uncertainty", action="store_true",
                    help="learned per-stage log-variance loss weighting "
                         "(speculative parity surface, SURVEY.md §2 C7 [M])")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="micro-batches averaged per optimizer step "
+                        "(effective batch = N x batch-size; BN stats update "
+                        "per micro-batch)")
     # schedule
     p.add_argument("--lr-decay-epochs", type=int, default=5)
     p.add_argument("--lr-decay-factor", type=float, default=0.1)
@@ -216,7 +228,7 @@ def parse_command(argv=None) -> TrainConfig:
         optim=OptimConfig(
             lr=a.lr, momentum=a.momentum, weight_decay=a.weight_decay,
             lr_decay_epochs=a.lr_decay_epochs, lr_decay_factor=a.lr_decay_factor,
-            criterion=a.criterion,
+            criterion=a.criterion, grad_accum=a.grad_accum,
         ),
         augment=AugmentConfig(enabled=not a.no_augment),
         batch_size=a.batch_size, eval_batch_size=a.eval_batch_size,

@@ -33,12 +33,18 @@ def make_mesh_2d(outer: int, inner: int,
     return Mesh(arr, axes)
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
+def batch_sharding(mesh: Mesh, accum: bool = False) -> NamedSharding:
     """Shard the leading (batch) dimension over EVERY mesh axis; all other
     dims replicated. On the standard 1-axis data mesh this is P('data'); on
     a 2-axis (replica, data) mesh the batch splits over both (pure DP).
-    Applies to every leaf of a batch pytree."""
-    return NamedSharding(mesh, P(tuple(mesh.axis_names)))
+    Applies to every leaf of a batch pytree.
+
+    accum=True: leaves carry a leading gradient-accumulation axis
+    (num_micro_batches, batch, ...) — the micro-batch axis stays whole on
+    every chip (lax.scan iterates it) and the BATCH axis (dim 1) shards."""
+    spec = (P(None, tuple(mesh.axis_names)) if accum
+            else P(tuple(mesh.axis_names)))
+    return NamedSharding(mesh, spec)
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
@@ -46,7 +52,8 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict, mesh: Mesh,
-                process_local: Optional[bool] = None) -> Dict:
+                process_local: Optional[bool] = None,
+                accum: bool = False) -> Dict:
     """Put a host batch on the mesh with its leading axis sharded over every
     mesh axis (see batch_sharding).
 
@@ -61,8 +68,11 @@ def shard_batch(batch: Dict, mesh: Mesh,
     jax.distributed CPU run in tests/test_multihost.py.
 
     ``process_local`` defaults to jax.process_count() > 1.
+
+    ``accum``: leaves are (num_micro_batches, batch, ...) stacks for a
+    gradient-accumulation step; dim 1 shards instead of dim 0.
     """
-    sharding = batch_sharding(mesh)
+    sharding = batch_sharding(mesh, accum=accum)
     if process_local is None:
         process_local = jax.process_count() > 1
     if process_local:

@@ -105,8 +105,14 @@ class Trainer:
                 else {}
             ),
         )
+        if cfg.optim.grad_accum < 1:
+            raise ValueError(f"grad_accum={cfg.optim.grad_accum} must be >= 1")
+        self._accum = cfg.optim.grad_accum
         self.train_ds, self.val_ds = make_datasets(cfg)
-        steps_per_epoch = max(1, len(self.train_ds) // cfg.batch_size)
+        # LR step decay counts OPTIMIZER steps; with gradient accumulation
+        # one optimizer step consumes grad_accum micro-batches.
+        steps_per_epoch = max(
+            1, len(self.train_ds) // (cfg.batch_size * self._accum))
         self.tx = make_optimizer(cfg.optim, steps_per_epoch)
         # Host-side augmentation in the native loader's worker threads
         # (reference DataLoader-worker semantics) when available; the device
@@ -124,10 +130,11 @@ class Trainer:
         self.state = jax.device_put(state, repl)
 
         bshard = batch_sharding(self.mesh)
+        train_bshard = batch_sharding(self.mesh, accum=self._accum > 1)
         self._train_step = jax.jit(
             make_train_step(self.model, self.arch_spec, cfg, self.tx,
                             host_augmented=self._host_augment),
-            in_shardings=(repl, bshard, repl),
+            in_shardings=(repl, train_bshard, repl),
             out_shardings=(repl, repl),
             donate_argnums=(0,),
         )
@@ -311,6 +318,20 @@ class Trainer:
             yield from iterate_batches(self.train_ds, cfg.batch_size, True,
                                        cfg.seed + epoch, drop_last=True)
 
+    def _train_groups(self, epoch: int):
+        """Optimizer-step stream: micro-batches as-is when grad_accum == 1,
+        else (grad_accum, batch, ...) stacks (ragged tail groups dropped,
+        like drop_last at the effective batch size)."""
+        if self._accum == 1:
+            yield from self._train_batches(epoch)
+            return
+        group = []
+        for batch in self._train_batches(epoch):
+            group.append(batch)
+            if len(group) == self._accum:
+                yield {k: np.stack([g[k] for g in group]) for k in group[0]}
+                group = []
+
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         """Steps are dispatched asynchronously and metric sums accumulate ON
         DEVICE (self._acc); the host syncs only at print_freq boundaries and
@@ -329,8 +350,8 @@ class Trainer:
         key = jax.random.fold_in(self.data_key, epoch)
         t0 = time.perf_counter()
         window_t0, window_n, window_data = t0, 0, 0.0
-        for batch in self._train_batches(epoch):
-            batch = shard_batch(batch, self.mesh)
+        for batch in self._train_groups(epoch):
+            batch = shard_batch(batch, self.mesh, accum=self._accum > 1)
             t1 = time.perf_counter()
             self.state, step_sums = self._train_step(self.state, batch, key)
             acc = step_sums if acc is None else self._acc(acc, step_sums)

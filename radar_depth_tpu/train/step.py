@@ -70,6 +70,38 @@ def _loss_and_pred(out, target, cfg: TrainConfig, spec: ArchSpec):
     return loss, pred
 
 
+def make_micro_grad_fn(model, spec: ArchSpec, cfg: TrainConfig,
+                       host_augmented: bool = False) -> Callable:
+    """One micro-batch of the train step WITHOUT the optimizer update:
+    (params, batch_stats, batch, key) -> (grads, new_batch_stats, sums).
+    Shared by the plain train step (one micro-batch per update) and the
+    gradient-accumulation scan; also the oracle surface for
+    tests/test_grad_accum.py."""
+    pre_cfg = make_preprocess_config(cfg)
+
+    def micro_grads(params, batch_stats, batch: Dict, key: jax.Array):
+        if host_augmented:
+            prepared = prepare_eval_batch(batch, pre_cfg, key)
+        else:
+            prepared = prepare_train_batch(batch, pre_cfg, key)
+        target = prepared["target"]
+
+        def loss_fn(p):
+            variables = {"params": p, "batch_stats": batch_stats}
+            out, mut = _forward(model, spec, variables, prepared, cfg,
+                                train=True, mutable=["batch_stats"])
+            loss, pred = _loss_and_pred(out, target, cfg, spec)
+            return loss, (mut["batch_stats"], pred)
+
+        (loss, (new_stats, pred)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        sums = compute_metric_sums(pred, target, cfg.metric_avg)
+        sums["loss"] = loss.astype(jnp.float32)
+        return grads, new_stats, sums
+
+    return micro_grads
+
+
 def make_train_step(model, spec: ArchSpec, cfg: TrainConfig,
                     tx: optax.GradientTransformation,
                     host_augmented: bool = False) -> Callable:
@@ -80,36 +112,67 @@ def make_train_step(model, spec: ArchSpec, cfg: TrainConfig,
     ~0.9 s/step of XLA gather warps at B=32 and overlaps augmentation with
     device compute, exactly like the reference's DataLoader workers
     (upstream:main.py::create_data_loaders; SURVEY.md §3.1 process
-    boundary)."""
-    pre_cfg = make_preprocess_config(cfg)
+    boundary).
+
+    cfg.optim.grad_accum > 1: the step consumes a STACKED batch whose leaves
+    are (grad_accum, batch, ...) and runs a lax.scan over the micro-batch
+    axis — per micro-batch gradients accumulate (then average) and BN stats
+    thread sequentially, followed by ONE optimizer update. Exact SGD on the
+    averaged gradient; RNG folds (step, micro_index) so micro-batches draw
+    independent augmentations. The reported loss sum is divided by
+    grad_accum so its scale matches the plain step."""
+    micro_grads = make_micro_grad_fn(model, spec, cfg, host_augmented)
+    accum = max(1, cfg.optim.grad_accum)
+
+    def apply_update(state: TrainState, grads, batch_stats) -> TrainState:
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(
+            step=state.step + 1, params=params,
+            batch_stats=batch_stats, opt_state=opt_state,
+        )
+
+    if accum == 1:
+        def train_step(state: TrainState, batch: Dict, key: jax.Array
+                       ) -> Tuple[TrainState, Dict]:
+            key = jax.random.fold_in(key, state.step)
+            grads, batch_stats, sums = micro_grads(
+                state.params, state.batch_stats, batch, key)
+            return apply_update(state, grads, batch_stats), sums
+
+        return train_step
 
     def train_step(state: TrainState, batch: Dict, key: jax.Array
                    ) -> Tuple[TrainState, Dict]:
         key = jax.random.fold_in(key, state.step)
-        if host_augmented:
-            prepared = prepare_eval_batch(batch, pre_cfg, key)
-        else:
-            prepared = prepare_train_batch(batch, pre_cfg, key)
-        target = prepared["target"]
 
-        def loss_fn(params):
-            variables = {"params": params, "batch_stats": state.batch_stats}
-            out, mut = _forward(model, spec, variables, prepared, cfg,
-                                train=True, mutable=["batch_stats"])
-            loss, pred = _loss_and_pred(out, target, cfg, spec)
-            return loss, (mut["batch_stats"], pred)
+        def body(carry, xs):
+            batch_stats, grads_acc, sums_acc = carry
+            micro_batch, idx = xs
+            grads, batch_stats, sums = micro_grads(
+                state.params, batch_stats, micro_batch,
+                jax.random.fold_in(key, idx))
+            grads_acc = jax.tree_util.tree_map(
+                lambda a, g: a + g, grads_acc, grads)
+            sums_acc = jax.tree_util.tree_map(
+                lambda a, s: a + s, sums_acc, sums)
+            return (batch_stats, grads_acc, sums_acc), None
 
-        (loss, (batch_stats, pred)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_state = state.replace(
-            step=state.step + 1, params=params,
-            batch_stats=batch_stats, opt_state=opt_state,
-        )
-        sums = compute_metric_sums(pred, target, cfg.metric_avg)
-        sums["loss"] = loss.astype(jnp.float32)
-        return new_state, sums
+        grads0 = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        # Zero sums with the exact structure one micro-batch produces
+        # (metric fields depend on cfg.metric_avg; "loss" is added on top).
+        sums0 = jax.eval_shape(
+            lambda: micro_grads(
+                state.params, state.batch_stats,
+                jax.tree_util.tree_map(lambda x: x[0], batch), key)[2])
+        sums0 = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), sums0)
+        (batch_stats, grads_acc, sums), _ = jax.lax.scan(
+            body, (state.batch_stats, grads0, sums0),
+            (batch, jnp.arange(accum)))
+        grads = jax.tree_util.tree_map(lambda g: g / accum, grads_acc)
+        sums["loss"] = sums["loss"] / accum
+        return apply_update(state, grads, batch_stats), sums
 
     return train_step
 
