@@ -49,7 +49,16 @@ class CheckpointManager:
             ),
         )
 
-    def save(self, epoch: int, state: TrainState, metrics: Dict[str, float]) -> None:
+    def save(self, epoch: int, state: TrainState, metrics: Dict[str, float],
+             wait: bool = False) -> None:
+        """Asynchronous by default (SURVEY.md §5: "orbax gives atomic async
+        checkpoints"): the state snapshot is taken synchronously here (the
+        caller passes host numpy trees — jax.Array donation in the train step
+        means device buffers must not be aliased into a background save), and
+        the orbax serialization+disk commit overlaps the next epoch. Readers
+        (restore/best_step) and close() drain the in-flight save; orbax also
+        drains automatically if the next save starts first. wait=True forces
+        the old blocking behavior."""
         payload = {
             "state": jax.tree_util.tree_map(np.asarray, state),
             "epoch": epoch,
@@ -60,12 +69,14 @@ class CheckpointManager:
             args=ocp.args.StandardSave(payload),
             metrics={"rmse": float(metrics.get("rmse", np.inf))},
         )
-        self._mgr.wait_until_finished()
+        if wait:
+            self._mgr.wait_until_finished()
 
     def restore(self, state_template: TrainState, step: Optional[int] = None
                 ) -> Tuple[TrainState, int, float]:
         """Returns (state, epoch, best_rmse_so_far) — the reference's --resume
         restores model+optimizer+epoch+best_result (SURVEY.md §2 C10)."""
+        self._mgr.wait_until_finished()
         step = self._mgr.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.dir}")
@@ -86,9 +97,11 @@ class CheckpointManager:
         return payload["state"], int(payload["epoch"]), best_rmse
 
     def best_step(self) -> Optional[int]:
+        self._mgr.wait_until_finished()
         return self._mgr.best_step()
 
     def close(self):
+        self._mgr.wait_until_finished()
         self._mgr.close()
 
 
