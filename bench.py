@@ -30,6 +30,9 @@ def main():
     p.add_argument("--arch", default="resnet18_multistage")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="train mode: micro-batches per optimizer step "
+                        "(one jitted scan; effective batch = N x --batch)")
     p.add_argument("--mode", default="infer",
                    choices=["infer", "train", "stream"],
                    help="infer: preproc+forward, batch resident on device "
@@ -69,10 +72,13 @@ def main():
     from radar_depth_tpu.train.step import init_model
     from radar_depth_tpu.config import DataConfig, ModelConfig, TrainConfig
 
+    from radar_depth_tpu.config import OptimConfig
+
     cfg = TrainConfig(
         data=DataConfig(height=spec.height, width=spec.width,
                         num_sweeps=spec.num_sweeps),
         model=ModelConfig(arch=args.arch, dtype=args.dtype),
+        optim=OptimConfig(grad_accum=max(1, args.grad_accum)),
         batch_size=args.batch,
     )
     variables = init_model(model, arch_spec, cfg, jax.random.PRNGKey(0))
@@ -232,12 +238,30 @@ def bench_train(args, model, arch_spec, cfg, variables, batch, n_chips):
         next(loader)  # warm workers + page cache
         t0 = time.perf_counter()
         host_batches = 8
+        recent = []
         for _ in range(host_batches):
             host_batch = next(loader)
+            recent.append(host_batch)
+            recent = recent[-max(1, cfg.optim.grad_accum):]
         host_rate = args.batch * host_batches / (time.perf_counter() - t0)
-        batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
+        if cfg.optim.grad_accum > 1:
+            # grad-accum step consumes an (A, B, ...) stack of micro-batches
+            while len(recent) < cfg.optim.grad_accum:
+                recent.append(next(loader))
+            batch = {k: jnp.asarray(np.stack([r[k] for r in recent]))
+                     for k in recent[0]}
+        else:
+            batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
         loader.close()
         dataset.close()
+
+    accum = max(1, cfg.optim.grad_accum)
+    if accum > 1 and not host_aug:
+        ds = SyntheticNuScenes(args.batch * accum, spec=spec, seed=0)
+        micros = [ds.batch(range(i * args.batch, (i + 1) * args.batch))
+                  for i in range(accum)]
+        batch = {k: jnp.asarray(np.stack([m[k] for m in micros]))
+                 for k in micros[0]}
 
     step_fn = make_train_step(model, arch_spec, cfg, tx,
                               host_augmented=host_aug)
@@ -265,13 +289,15 @@ def bench_train(args, model, arch_spec, cfg, variables, batch, n_chips):
     checksum = float(loss)
     dt = time.perf_counter() - t0
     assert np.isfinite(checksum)
-    per_chip = args.batch * args.iters / dt / n_chips
+    per_chip = args.batch * accum * args.iters / dt / n_chips
     out = {
         "metric": "train_images_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(per_chip / 1000.0, 4),
     }
+    if accum > 1:
+        out["grad_accum"] = accum
     if host_rate is not None:
         out["loader_img_per_sec"] = round(host_rate, 1)
         out["loader_threads"] = loader_threads
