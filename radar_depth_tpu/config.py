@@ -126,6 +126,89 @@ class TrainConfig:
     mesh_axis: str = "data"
 
 
+def save_config(cfg: TrainConfig, path: str) -> None:
+    """Persist the full config tree as JSON (the self-describing-run half of
+    upstream's habit of pickling args/model into the checkpoint; C10)."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=1, sort_keys=True)
+
+
+def load_config(path: str) -> TrainConfig:
+    """Inverse of save_config."""
+    import json
+
+    with open(path) as f:
+        d = json.load(f)
+    optim = dict(d["optim"])
+    optim["stage_weights"] = tuple(optim.get("stage_weights", (1.0, 1.0)))
+    data = dict(d["data"])
+    aug = dict(d["augment"])
+    aug["scale_range"] = tuple(aug.get("scale_range", (1.0, 1.5)))
+    top = {k: v for k, v in d.items()
+           if k not in ("data", "model", "optim", "augment")}
+    return TrainConfig(
+        data=DataConfig(**data), model=ModelConfig(**d["model"]),
+        optim=OptimConfig(**optim), augment=AugmentConfig(**aug), **top)
+
+
+# argparse dest → path into the saved config tree, for the flags a run's
+# config.json supplies when the CLI leaves them at their default
+# (--evaluate/--resume convenience: the reference pickles args+model into its
+# checkpoints, so `--evaluate CKPT` there needs no arch flags — SURVEY.md §2
+# C10. An explicitly passed non-default flag always wins).
+_RUN_CONFIG_FLAGS = {
+    "arch": ("model", "arch"), "modality": ("model", "modality"),
+    "decoder": ("model", "decoder"), "dtype": ("model", "dtype"),
+    "filter_mode": ("model", "filter_mode"),
+    "abs_threshold": ("model", "abs_threshold"),
+    "rel_threshold": ("model", "rel_threshold"),
+    "height": ("data", "height"), "width": ("data", "width"),
+    "num_sweeps": ("data", "num_sweeps"), "max_depth": ("data", "max_depth"),
+    "height_extension": ("data", "height_extension"),
+    "sparsifier": ("data", "sparsifier"),
+    "num_samples": ("data", "num_samples"),
+    "raster_backend": ("data", "raster_backend"),
+    "gt_augment": ("data", "gt_augment"),
+    "dataset": ("data", "dataset"), "data_root": ("data", "data_root"),
+    "num_train": ("data", "num_train"), "num_val": ("data", "num_val"),
+    "batch_size": ("batch_size",), "eval_batch_size": ("eval_batch_size",),
+    "metric_avg": ("metric_avg",),
+}
+
+
+def _adopt_run_config(a, parser) -> None:
+    """For --evaluate/--resume: fill CLI-default model/data flags from the
+    run's config.json (written by Trainer), so run dirs are self-describing
+    like the reference's args-carrying checkpoints."""
+    import json
+    import os
+
+    run = a.evaluate or a.resume
+    # --evaluate also accepts .../checkpoints or .../checkpoints/<step>
+    # (restore_for_evaluate); config.json lives in the run dir above them
+    if os.path.basename(run).isdigit():
+        run = os.path.dirname(run)
+    if os.path.basename(run) == "checkpoints":
+        run = os.path.dirname(run)
+    path = os.path.join(run, "config.json")
+    if not os.path.isfile(path):
+        return
+    with open(path) as f:
+        saved = json.load(f)
+    for dest, keys in _RUN_CONFIG_FLAGS.items():
+        if getattr(a, dest) != parser.get_default(dest):
+            continue  # explicit (non-default) CLI value wins
+        node = saved
+        for k in keys:
+            node = node[k]
+        setattr(a, dest, node)
+    # --no-augment (store_true) only matters for --resume continuation
+    if not a.no_augment and not saved.get("augment", {}).get("enabled", True):
+        a.no_augment = True
+
+
 def parse_command(argv=None) -> TrainConfig:
     """Reference-compatible CLI (upstream:utils.py::parse_command)."""
     p = argparse.ArgumentParser(description="radar_depth_tpu training harness")
@@ -206,6 +289,8 @@ def parse_command(argv=None) -> TrainConfig:
     p.add_argument("--eval-splits", action="store_true",
                    help="report per-split (day/night) metrics at --evaluate")
     a = p.parse_args(argv)
+    if a.evaluate or a.resume:
+        _adopt_run_config(a, p)
     if a.multistage_uncertainty:
         if not a.arch.endswith("_multistage"):
             p.error("--multistage-uncertainty requires a *_multistage arch")

@@ -85,9 +85,21 @@ class Predictor:
     @classmethod
     def from_run(cls, run_dir: str, cfg: Optional[TrainConfig] = None,
                  **cfg_overrides) -> "Predictor":
-        """Load the best (else latest) checkpoint of a training run. The run's
-        model config must be re-supplied if it differed from defaults."""
-        cfg = cfg or TrainConfig(**cfg_overrides)
+        """Load the best (else latest) checkpoint of a training run. Run dirs
+        written by Trainer are self-describing (config.json), so arch/data
+        flags are recovered automatically; pass cfg or cfg_overrides to
+        override (overrides are top-level TrainConfig fields)."""
+        import dataclasses as _dc
+        import os as _os
+
+        if cfg is None:
+            cfg_path = _os.path.join(run_dir, "config.json")
+            if _os.path.isfile(cfg_path):
+                from radar_depth_tpu.config import load_config
+
+                cfg = _dc.replace(load_config(cfg_path), **cfg_overrides)
+            else:
+                cfg = TrainConfig(**cfg_overrides)
         model, arch_spec = create_model(
             cfg.model.arch, modality=cfg.model.modality,
             decoder=cfg.model.decoder,

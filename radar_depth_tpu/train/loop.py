@@ -158,6 +158,12 @@ class Trainer:
             self._load_pretrained(cfg.model.pretrained)
 
         os.makedirs(cfg.output_dir, exist_ok=True)
+        if not cfg.evaluate:
+            # self-describing run dir: --evaluate/--resume/Predictor.from_run
+            # recover arch+data flags from here (reference C10 semantics)
+            from radar_depth_tpu.config import save_config
+
+            save_config(cfg, os.path.join(cfg.output_dir, "config.json"))
         self.train_log = EpochCSVLogger(os.path.join(cfg.output_dir, "train.csv"))
         self.val_log = EpochCSVLogger(os.path.join(cfg.output_dir, "test.csv"))
         self.ckpt = ckpt_lib.CheckpointManager(cfg.output_dir)
