@@ -273,6 +273,11 @@ def parse_command(argv=None) -> TrainConfig:
     p.add_argument("--multistage-uncertainty", action="store_true",
                    help="learned per-stage log-variance loss weighting "
                         "(speculative parity surface, SURVEY.md §2 C7 [M])")
+    p.add_argument("--stage-weights", type=float, nargs=2, default=[1.0, 1.0],
+                   metavar=("W1", "W2"),
+                   help="multistage loss weighting: loss = W1*l(coarse) + "
+                        "W2*l(refined) (upstream weighting is [M] in "
+                        "SURVEY.md §3.4; default equal weights)")
     p.add_argument("--grad-accum", type=int, default=1,
                    help="micro-batches averaged per optimizer step "
                         "(effective batch = N x batch-size; BN stats update "
@@ -314,6 +319,7 @@ def parse_command(argv=None) -> TrainConfig:
             lr=a.lr, momentum=a.momentum, weight_decay=a.weight_decay,
             lr_decay_epochs=a.lr_decay_epochs, lr_decay_factor=a.lr_decay_factor,
             criterion=a.criterion, grad_accum=a.grad_accum,
+            stage_weights=tuple(a.stage_weights),
         ),
         augment=AugmentConfig(enabled=not a.no_augment),
         batch_size=a.batch_size, eval_batch_size=a.eval_batch_size,

@@ -166,3 +166,31 @@ def test_multistage_uncertainty_cli_flag():
     cfg = parse_command(["--arch", "resnet18_multistage",
                          "--multistage-uncertainty"])
     assert cfg.model.arch == "resnet18_multistage_uncertainty"
+
+
+def test_stage_weights_cli_flag():
+    from radar_depth_tpu.config import parse_command
+
+    cfg = parse_command(["--arch", "resnet18_multistage",
+                         "--stage-weights", "0.5", "2.0"])
+    assert cfg.optim.stage_weights == (0.5, 2.0)
+    assert parse_command([]).optim.stage_weights == (1.0, 1.0)
+
+
+def test_stage_weights_scale_multistage_loss():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from radar_depth_tpu.objectives import multistage_loss
+
+    rng = np.random.default_rng(0)
+    target = jnp.asarray(np.abs(rng.standard_normal((2, 8, 8, 1))) + 0.1)
+    coarse = jnp.asarray(np.abs(rng.standard_normal((2, 8, 8, 1))))
+    refined = jnp.asarray(np.abs(rng.standard_normal((2, 8, 8, 1))))
+    base = multistage_loss((coarse, refined), target, "l1", (1.0, 1.0))
+    only1 = multistage_loss((coarse, refined), target, "l1", (1.0, 0.0))
+    only2 = multistage_loss((coarse, refined), target, "l1", (0.0, 1.0))
+    np.testing.assert_allclose(float(only1) + float(only2), float(base),
+                               rtol=1e-6)
+    half = multistage_loss((coarse, refined), target, "l1", (0.5, 0.5))
+    np.testing.assert_allclose(float(half), float(base) / 2, rtol=1e-6)
