@@ -8,7 +8,6 @@ import json
 import os
 
 import numpy as np
-import jax
 
 from radar_depth_tpu.config import (
     AugmentConfig,
