@@ -109,6 +109,13 @@ class Trainer:
             raise ValueError(f"grad_accum={cfg.optim.grad_accum} must be >= 1")
         self._accum = cfg.optim.grad_accum
         self.train_ds, self.val_ds = make_datasets(cfg)
+        if (not cfg.evaluate
+                and len(self.train_ds) < cfg.batch_size * self._accum):
+            raise ValueError(
+                f"effective batch {cfg.batch_size} x grad_accum "
+                f"{self._accum} = {cfg.batch_size * self._accum} exceeds the "
+                f"{len(self.train_ds)}-sample train split — every epoch "
+                "would run zero optimizer steps")
         # LR step decay counts OPTIMIZER steps; with gradient accumulation
         # one optimizer step consumes grad_accum micro-batches.
         steps_per_epoch = max(

@@ -148,6 +148,18 @@ def test_trainer_grad_accum_end_to_end(tmp_path):
     assert np.isfinite(float(vals["mae"]))
 
 
+def test_grad_accum_exceeding_split_raises(tmp_path):
+    """batch x accum > train split would silently run zero optimizer steps
+    per epoch — the Trainer rejects it with an explanation instead."""
+    import pytest as _pytest
+
+    from radar_depth_tpu.train.loop import Trainer
+
+    cfg = accum_config(tmp_path, accum=8)  # 8 x 8 = 64 > 32 train samples
+    with _pytest.raises(ValueError, match="zero optimizer steps"):
+        Trainer(cfg)
+
+
 def test_grad_accum_native_loader_thread_invariant(tmp_path):
     """--grad-accum composed with the C++ prefetch loader (worker-side
     augmentation): micro-batch grouping preserves claim-order determinism,
