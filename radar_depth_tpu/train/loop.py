@@ -325,6 +325,11 @@ class Trainer:
                     threads=cfg.workers or 4,
                     augment=cfg.augment if self._host_augment else None)
             steps = len(self.train_ds) // cfg.batch_size
+            # With gradient accumulation, pull only FULL optimizer-step
+            # groups: a partial tail group would be drawn from the loader
+            # and then dropped by _train_groups — silently skipping those
+            # samples and desynchronizing the loader's shuffle epochs.
+            steps -= steps % self._accum
             for _ in range(steps):
                 yield next(self._native_loader)
         else:

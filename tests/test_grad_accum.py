@@ -160,6 +160,41 @@ def test_grad_accum_exceeding_split_raises(tmp_path):
         Trainer(cfg)
 
 
+def test_grad_accum_pulls_only_full_groups_from_native_loader(tmp_path):
+    """40 samples / batch 8 = 5 micro-batches per epoch; at accum 2 the
+    epoch must pull exactly 4 (2 full groups) — pulling the 5th and
+    dropping it would silently skip samples and shift the loader's shuffle
+    epochs (regression test for the tail-group consumption bug)."""
+    from radar_depth_tpu.data import packed
+    from radar_depth_tpu.data.schema import SampleSpec
+    from radar_depth_tpu.train.loop import Trainer
+
+    if not packed.native_available():
+        pytest.skip("librdtp unavailable")
+    spec = SampleSpec(height=64, width=96, num_sweeps=2)
+    for split, n, seed in (("train", 40, 0), ("val", 8, 1)):
+        ds = SyntheticNuScenes(n, spec=spec, seed=seed)
+        packed.write_shard(str(tmp_path / "data" / split / "data.rdtp"),
+                           [ds[i] for i in range(n)])
+    cfg = TrainConfig(
+        data=DataConfig(dataset="packed", data_root=str(tmp_path / "data"),
+                        height=64, width=96, num_sweeps=2),
+        model=ModelConfig(arch="resnet18", modality="rgbd",
+                          decoder="deconv2"),
+        optim=OptimConfig(grad_accum=2), augment=AugmentConfig(),
+        batch_size=8, epochs=1, workers=2,
+        output_dir=str(tmp_path / "run"), print_freq=100,
+    )
+    tr = Trainer(cfg)
+    groups = list(tr._train_groups(0))
+    assert len(groups) == 2
+    assert groups[0]["image"].shape[0] == 2  # (accum, batch, ...) stacks
+    # the loader delivered micro-batches 0..3 of its epoch 0 — NOT 4
+    assert (tr._native_loader.epoch, tr._native_loader.index_in_epoch) \
+        == (0, 3)
+    tr.close()
+
+
 def test_grad_accum_native_loader_thread_invariant(tmp_path):
     """--grad-accum composed with the C++ prefetch loader (worker-side
     augmentation): micro-batch grouping preserves claim-order determinism,
