@@ -70,9 +70,8 @@ def main():
     batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
 
     from radar_depth_tpu.train.step import init_model
-    from radar_depth_tpu.config import DataConfig, ModelConfig, TrainConfig
-
-    from radar_depth_tpu.config import OptimConfig
+    from radar_depth_tpu.config import (DataConfig, ModelConfig, OptimConfig,
+                                        TrainConfig)
 
     cfg = TrainConfig(
         data=DataConfig(height=spec.height, width=spec.width,

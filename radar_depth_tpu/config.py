@@ -135,21 +135,32 @@ def save_config(cfg: TrainConfig, path: str) -> None:
         json.dump(dataclasses.asdict(cfg), f, indent=1, sort_keys=True)
 
 
+def _known_fields(cls, d: dict) -> dict:
+    """Keep only keys cls defines — a config.json written by a newer (or
+    older) version of this code must still load; unknown keys are dropped,
+    missing ones take the dataclass defaults."""
+    names = {f.name for f in dataclasses.fields(cls)}
+    return {k: v for k, v in d.items() if k in names}
+
+
 def load_config(path: str) -> TrainConfig:
-    """Inverse of save_config."""
+    """Inverse of save_config (version-tolerant, see _known_fields)."""
     import json
 
     with open(path) as f:
         d = json.load(f)
-    optim = dict(d["optim"])
-    optim["stage_weights"] = tuple(optim.get("stage_weights", (1.0, 1.0)))
-    data = dict(d["data"])
-    aug = dict(d["augment"])
-    aug["scale_range"] = tuple(aug.get("scale_range", (1.0, 1.5)))
-    top = {k: v for k, v in d.items()
-           if k not in ("data", "model", "optim", "augment")}
+    optim = _known_fields(OptimConfig, d.get("optim", {}))
+    if "stage_weights" in optim:
+        optim["stage_weights"] = tuple(optim["stage_weights"])
+    aug = _known_fields(AugmentConfig, d.get("augment", {}))
+    if "scale_range" in aug:
+        aug["scale_range"] = tuple(aug["scale_range"])
+    top = _known_fields(TrainConfig, {
+        k: v for k, v in d.items()
+        if k not in ("data", "model", "optim", "augment")})
     return TrainConfig(
-        data=DataConfig(**data), model=ModelConfig(**d["model"]),
+        data=DataConfig(**_known_fields(DataConfig, d.get("data", {}))),
+        model=ModelConfig(**_known_fields(ModelConfig, d.get("model", {}))),
         optim=OptimConfig(**optim), augment=AugmentConfig(**aug), **top)
 
 
@@ -201,8 +212,11 @@ def _adopt_run_config(a, parser) -> None:
         if getattr(a, dest) != parser.get_default(dest):
             continue  # explicit (non-default) CLI value wins
         node = saved
-        for k in keys:
-            node = node[k]
+        try:
+            for k in keys:
+                node = node[k]
+        except KeyError:
+            continue  # config.json from a version without this field
         setattr(a, dest, node)
     # --no-augment (store_true) only matters for --resume continuation
     if not a.no_augment and not saved.get("augment", {}).get("enabled", True):

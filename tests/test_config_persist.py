@@ -44,6 +44,28 @@ def test_config_json_round_trip(tmp_path):
     assert load_config(path) == cfg
 
 
+def test_load_config_version_tolerant(tmp_path):
+    """config.json from another code version loads: unknown keys dropped,
+    missing keys take defaults."""
+    import dataclasses
+
+    cfg = make_cfg(tmp_path)
+    path = str(tmp_path / "config.json")
+    save_config(cfg, path)
+    with open(path) as f:
+        d = json.load(f)
+    d["model"]["future_knob"] = 42          # newer-version extra
+    d["frobnicate"] = True                   # top-level extra
+    del d["optim"]["grad_accum"]             # older-version missing
+    with open(path, "w") as f:
+        json.dump(d, f)
+    loaded = load_config(path)
+    assert loaded.model.arch == cfg.model.arch
+    assert loaded.optim.grad_accum == 1      # dataclass default
+    assert loaded == dataclasses.replace(
+        cfg, optim=dataclasses.replace(cfg.optim, grad_accum=1))
+
+
 def test_evaluate_adopts_run_config(tmp_path):
     run = tmp_path / "run"
     run.mkdir()
