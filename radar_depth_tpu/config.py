@@ -63,6 +63,9 @@ class ModelConfig:
     pretrained: str = ""  # path to converted torchvision weights (no network)
     stage1_path: str = ""  # init multistage stage1/stage2 from a checkpoint
     remat: bool = False  # rematerialize multistage stages in backward
+    # SURVEY.md §3.4 "(+D₁?)" [M]: feed the coarse prediction to stage-2 as a
+    # second radar-branch channel (stop_gradient'ed; see models/fusion.py)
+    stage2_coarse: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -175,6 +178,7 @@ _RUN_CONFIG_FLAGS = {
     "filter_mode": ("model", "filter_mode"),
     "abs_threshold": ("model", "abs_threshold"),
     "rel_threshold": ("model", "rel_threshold"),
+    "stage2_coarse": ("model", "stage2_coarse"),
     "height": ("data", "height"), "width": ("data", "width"),
     "num_sweeps": ("data", "num_sweeps"), "max_depth": ("data", "max_depth"),
     "height_extension": ("data", "height_extension"),
@@ -284,6 +288,9 @@ def parse_command(argv=None) -> TrainConfig:
     p.add_argument("--stage1-path", default="")
     p.add_argument("--remat", action="store_true",
                    help="recompute multistage stages in backward (bigger batches)")
+    p.add_argument("--stage2-coarse", action="store_true",
+                   help="feed the coarse prediction to stage-2 as an extra "
+                        "radar-branch channel (SURVEY §3.4 '(+D1?)' variant)")
     p.add_argument("--multistage-uncertainty", action="store_true",
                    help="learned per-stage log-variance loss weighting "
                         "(speculative parity surface, SURVEY.md §2 C7 [M])")
@@ -328,6 +335,7 @@ def parse_command(argv=None) -> TrainConfig:
             filter_mode=a.filter_mode, abs_threshold=a.abs_threshold,
             rel_threshold=a.rel_threshold, pretrained=a.pretrained,
             stage1_path=a.stage1_path, remat=a.remat,
+            stage2_coarse=a.stage2_coarse,
         ),
         optim=OptimConfig(
             lr=a.lr, momentum=a.momentum, weight_decay=a.weight_decay,

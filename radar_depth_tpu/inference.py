@@ -58,6 +58,7 @@ def _arch_kwargs(cfg: TrainConfig) -> Dict:
         filter_mode=cfg.model.filter_mode,
         abs_threshold=cfg.model.abs_threshold,
         rel_threshold=cfg.model.rel_threshold,
+        stage2_coarse=cfg.model.stage2_coarse,
     )
 
 

@@ -46,6 +46,8 @@ class LateFusionNet(nn.Module):
     decoder_kind: str = "upproj"
     output_size: tuple = (450, 800)
     radar_width: int = 64  # reference uses a full ResNet radar branch [M]
+    radar_in_channels: int = 1  # 2 when the coarse map rides along (stage-2
+    # of MultiStageNet(stage2_coarse=True); SURVEY.md §3.4 "(+D₁?)")
     fuse: str = "concat"  # concat | add
     norm: Callable = None
     dtype: Any = jnp.float32
@@ -56,7 +58,8 @@ class LateFusionNet(nn.Module):
             depth=self.depth, in_channels=3, norm=norm, dtype=self.dtype,
             name="img_encoder")
         self.radar_encoder = ResNetEncoder(
-            depth=self.depth, in_channels=1, width=self.radar_width,
+            depth=self.depth, in_channels=self.radar_in_channels,
+            width=self.radar_width,
             norm=norm, dtype=self.dtype, name="radar_encoder")
         c = self.img_encoder.out_channels
         self.conv2 = nn.Conv(c // 2, (1, 1), use_bias=False, dtype=self.dtype,
@@ -153,6 +156,15 @@ class MultiStageNet(nn.Module):
     # `--multistage-uncertainty` flag / `*_uncertainty` registry names until
     # the reference is readable.
     uncertainty: bool = False
+    # SURVEY.md §3.4 tags stage-2's input as "{rgb, filtered radar (+D₁?)}"
+    # [M]: with stage2_coarse=True the coarse prediction rides as a second
+    # radar-branch channel (stop_gradient'ed, like the filter input, so
+    # stage-1 stays independently supervised — the coarse==matched-budget-
+    # latefusion property of the r3 ablation is preserved). Stage-2's radar
+    # conv1 widens to 2 input channels; --stage1-path grafting zero-pads the
+    # new channel so the initialized stage-2 computes exactly what a 1-ch
+    # graft would (train/loop.py::maybe_init_from_stage1).
+    stage2_coarse: bool = False
 
     @nn.compact
     def __call__(self, rgb: jax.Array, radar: jax.Array, train: bool = False):
@@ -165,7 +177,9 @@ class MultiStageNet(nn.Module):
             else LateFusionNet
         )
         stage1 = stage_cls(**kwargs, name="stage1")
-        stage2 = stage_cls(**kwargs, name="stage2")
+        stage2 = stage_cls(
+            **kwargs, radar_in_channels=2 if self.stage2_coarse else 1,
+            name="stage2")
         if self.remat:
             coarse = stage1(rgb, radar, train)
         else:
@@ -191,17 +205,22 @@ class MultiStageNet(nn.Module):
             p1r = max_pool_torch(stage1.radar_encoder.stem_finish(
                 stage1.radar_encoder.stem_conv(radar), train), 3, 2, 1)
             coarse = stage1(rgb, radar, train, p1i, p1r)
+        coarse_sg = jax.lax.stop_gradient(coarse)
         filtered = filter_radar_by_prediction(
             radar,
-            jax.lax.stop_gradient(coarse),
+            coarse_sg,
             abs_threshold=self.abs_threshold,
             rel_threshold=self.rel_threshold,
             mode=self.filter_mode,
         )
-        if self.remat:
-            refined = stage2(rgb, filtered, train)
+        if self.stage2_coarse:
+            stage2_radar = jnp.concatenate([filtered, coarse_sg], axis=-1)
         else:
-            refined = stage2(rgb, filtered, train, p2i, None)
+            stage2_radar = filtered
+        if self.remat:
+            refined = stage2(rgb, stage2_radar, train)
+        else:
+            refined = stage2(rgb, stage2_radar, train, p2i, None)
         if self.uncertainty:
             log_var = self.param("stage_log_var",
                                  nn.initializers.zeros_init(), (2,),

@@ -100,6 +100,7 @@ class Trainer:
                     abs_threshold=cfg.model.abs_threshold,
                     rel_threshold=cfg.model.rel_threshold,
                     remat=cfg.model.remat,
+                    stage2_coarse=cfg.model.stage2_coarse,
                 )
                 if "multistage" in cfg.model.arch
                 else {}
@@ -253,7 +254,8 @@ class Trainer:
         params = dict(self.state.params)
         stats = dict(self.state.batch_stats)
         for stage in ("stage1", "stage2"):
-            params[stage] = src_params
+            params[stage] = _widen_to_template(self.state.params[stage],
+                                               src_params)
             stats[stage] = src_stats
         self.state = self.state.replace(params=params, batch_stats=stats)
         self.state = jax.device_put(self.state, replicated_sharding(self.mesh))
@@ -525,6 +527,31 @@ class Trainer:
         if getattr(self, "tboard", None) is not None:
             self.tboard.close()
             self.tboard = None
+
+
+def _widen_to_template(template, src):
+    """Leaf-wise copy of `src` into `template`'s shapes. Equal shapes copy
+    verbatim; a conv kernel whose INPUT-channel dim (axis -2) is wider in
+    the template is zero-padded there — e.g. grafting a 1-ch-radar stage-1
+    checkpoint into the 2-ch radar branch of a --stage2-coarse stage-2
+    (models/fusion.py): zero weight on the new coarse channel makes the
+    initialized stage-2 compute exactly what the 1-ch graft computed. Any
+    other mismatch is an error."""
+
+    def fix(t, s):
+        t, s = np.asarray(t), np.asarray(s)
+        if t.shape == s.shape:
+            return s
+        if (t.ndim == s.ndim == 4 and t.shape[:2] == s.shape[:2]
+                and t.shape[3] == s.shape[3] and t.shape[2] > s.shape[2]):
+            pad = np.zeros(t.shape[:2] + (t.shape[2] - s.shape[2],)
+                           + t.shape[3:], s.dtype)
+            return np.concatenate([s, pad], axis=2)
+        raise ValueError(
+            f"stage checkpoint leaf shape {s.shape} does not fit template "
+            f"{t.shape} (only input-channel widening is supported)")
+
+    return jax.tree_util.tree_map(fix, template, src)
 
 
 def _dtype(name: str):

@@ -35,6 +35,9 @@ def main() -> int:
     p.add_argument("--sweeps", type=int, default=5)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--filter-mode", default="abs", choices=["abs", "rel", "or"])
+    p.add_argument("--stage2-coarse", action="store_true",
+                   help="the run used --stage2-coarse (D1 as a stage-2 "
+                        "radar-branch channel)")
     p.add_argument("--abs-threshold", type=float, default=2.0)
     p.add_argument("--rel-threshold", type=float, default=0.15)
     p.add_argument("--radius", type=int, default=4,
@@ -66,7 +69,8 @@ def main() -> int:
         model=ModelConfig(arch=args.arch, dtype=args.dtype,
                           filter_mode=args.filter_mode,
                           abs_threshold=args.abs_threshold,
-                          rel_threshold=args.rel_threshold),
+                          rel_threshold=args.rel_threshold,
+                          stage2_coarse=args.stage2_coarse),
         batch_size=args.batch,
     )
     pred = Predictor.from_run(args.run, cfg)
