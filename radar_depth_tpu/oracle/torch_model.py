@@ -165,10 +165,10 @@ class TorchLateFusionNet(nn.Module):
     """Oracle of models.fusion.LateFusionNet."""
 
     def __init__(self, depth=18, decoder="upproj", output_size=(450, 800),
-                 radar_width=64):
+                 radar_width=64, radar_in_channels=1):
         super().__init__()
         self.img_encoder = Encoder(depth, 3)
-        self.radar_encoder = Encoder(depth, 1, radar_width)
+        self.radar_encoder = Encoder(depth, radar_in_channels, radar_width)
         c = self.img_encoder.out_channels
         self.conv2 = nn.Conv2d(c + radar_width * 8, c // 2, 1, bias=False)
         self.bn2 = nn.BatchNorm2d(c // 2)
@@ -188,15 +188,22 @@ class TorchMultiStageNet(nn.Module):
     """Oracle of models.fusion.MultiStageNet (abs-threshold filter)."""
 
     def __init__(self, depth=18, decoder="upproj", output_size=(450, 800),
-                 abs_threshold=2.0):
+                 abs_threshold=2.0, stage2_coarse=False):
         super().__init__()
         self.stage1 = TorchLateFusionNet(depth, decoder, output_size)
-        self.stage2 = TorchLateFusionNet(depth, decoder, output_size)
+        self.stage2 = TorchLateFusionNet(
+            depth, decoder, output_size,
+            radar_in_channels=2 if stage2_coarse else 1)
         self.abs_threshold = abs_threshold
+        self.stage2_coarse = stage2_coarse
 
     def forward(self, rgb, radar):
         coarse = self.stage1(rgb, radar)
         keep = (radar > 0) & ((radar - coarse.detach()).abs() < self.abs_threshold)
         filtered = torch.where(keep, radar, torch.zeros_like(radar))
+        if self.stage2_coarse:
+            # mirrors models/fusion.py MultiStageNet(stage2_coarse=True):
+            # D1 rides as the second radar-branch channel, detached
+            filtered = torch.cat([filtered, coarse.detach()], dim=1)
         refined = self.stage2(rgb, filtered)
         return coarse, refined

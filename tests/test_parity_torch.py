@@ -103,6 +103,34 @@ def test_multistage_parity():
                                atol=2e-4, rtol=1e-3)
 
 
+def test_multistage_stage2_coarse_parity():
+    """Forward parity of the --stage2-coarse variant: D1 rides as stage-2's
+    second radar-branch channel in both frameworks, so converted weights
+    must reproduce both heads (channel ORDER [filtered, coarse] included)."""
+    torch.manual_seed(3)
+    (rgb, radar), (trgb, tradar) = _inputs()
+    tmodel = TorchMultiStageNet(18, "deconv2", OUT, abs_threshold=2.0,
+                                stage2_coarse=True)
+    _warm_bn(tmodel, (trgb, tradar))
+    with torch.no_grad():
+        want_c, want_r = tmodel(trgb, tradar)
+    model, _ = create_model("resnet18_multistage", decoder="deconv2",
+                            output_size=OUT, stage2_coarse=True)
+    template = model.init(jax.random.PRNGKey(0), jnp.asarray(rgb),
+                          jnp.asarray(radar), train=False)
+    assert (template["params"]["stage2"]["radar_encoder"]["conv1"]["kernel"]
+            .shape[2] == 2)
+    variables = torch_state_dict_to_variables(tmodel.state_dict(), template)
+    got_c, got_r = model.apply(variables, jnp.asarray(rgb), jnp.asarray(radar),
+                               train=False)
+    np.testing.assert_allclose(np.asarray(got_c),
+                               want_c.numpy().transpose(0, 2, 3, 1),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_r),
+                               want_r.numpy().transpose(0, 2, 3, 1),
+                               atol=2e-4, rtol=1e-3)
+
+
 def test_gradient_parity():
     """Backward parity: d(masked L1 loss)/d(params) through the full
     encoder-decoder must match torch autograd with converted weights
