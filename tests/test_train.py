@@ -317,3 +317,70 @@ def test_warm_start_init_from(tmp_path):
     tr3 = Trainer(cfg3)
     with pytest.raises(ValueError):
         tr3.maybe_warm_start()
+
+
+@pytest.mark.slow
+def test_resume_after_sigkill_mid_training(tmp_path):
+    """Crash recovery (SURVEY.md §5 failure-recovery; seen live when the
+    device relay died mid-run): SIGKILL a training process while async orbax
+    saves are in flight, then --resume the run dir in a fresh process. Atomic
+    checkpointing must leave only complete steps behind (in-flight tmp dirs
+    ignored) and the resumed run must finish every epoch."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    run = tmp_path / "run"
+    flags = ["--arch", "resnet18_latefusion", "--decoder", "deconv2",
+             "-b", "8", "--epochs", "6", "--height", "64", "--width", "96",
+             "--num-sweeps", "2", "--num-train", "16", "--num-val", "8",
+             "--output-dir", str(run)]
+
+    def code(extra):
+        return (
+            "import jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "import sys\n"
+            f"sys.path.insert(0, {repo!r})\n"
+            "from radar_depth_tpu.train.main import main\n"
+            f"raise SystemExit(main({flags + extra!r}))\n"
+        )
+
+    proc = subprocess.Popen([sys.executable, "-c", code([])], cwd=repo,
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL)
+    try:
+        ckpt_dir = run / "checkpoints"
+        deadline = time.time() + 600
+        while time.time() < deadline:
+            done = [d for d in os.listdir(ckpt_dir)] if ckpt_dir.is_dir() else []
+            if any(d.isdigit() for d in done):
+                break
+            if proc.poll() is not None:
+                pytest.fail("training exited before first checkpoint")
+            time.sleep(0.5)
+        else:
+            pytest.fail("no checkpoint appeared within 600s")
+        time.sleep(1.5)  # land mid-epoch / mid-async-save
+        assert proc.poll() is None, "run finished before the kill — slow down"
+        proc.send_signal(signal.SIGKILL)
+        proc.wait(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    resumed = subprocess.run(
+        [sys.executable, "-c", code(["--resume", str(run)])], cwd=repo,
+        capture_output=True, text=True, timeout=900)
+    assert resumed.returncode == 0, resumed.stderr[-4000:]
+
+    steps = sorted(int(d) for d in os.listdir(run / "checkpoints")
+                   if d.isdigit())
+    assert steps and steps[-1] == 5  # epochs are 0-indexed; 6th = step 5
+    import csv
+
+    with open(run / "test.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert rows[-1]["epoch"] == "5"
