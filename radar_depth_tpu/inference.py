@@ -126,11 +126,34 @@ class Predictor:
         pred = out[1] if self.arch_spec.multistage else out
         return pred[..., 0], prepared["target"][..., 0]
 
-    def predict(self, batch: Dict) -> np.ndarray:
-        """Raw schema batch → (B, H, W) predicted depth in meters."""
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        pred, _ = self._infer(self.params, self.batch_stats, batch)
-        return np.asarray(pred)
+    def predict(self, batch: Dict, max_tile: int = 128) -> np.ndarray:
+        """Raw schema batch → (B, H, W) predicted depth in meters.
+
+        Requests are tiled into power-of-two chunks of at most ``max_tile``
+        samples (short tails padded by repeating the last sample, padding
+        sliced off the output). Rationale (NOTES.md "B>128 cliff"): XLA on
+        this backend pads non-pow2 batch dims per-op to pow2 tiles — a
+        B=144 program allocates MORE temp HBM than B=256 and collapses to
+        ~40% throughput — and every distinct request size would otherwise
+        compile its own program. Per-sample independence (eval-mode BN, no
+        cross-batch ops) makes tiling value-identical to a single call."""
+        arrs = {k: np.asarray(v) for k, v in batch.items()}
+        b = next(iter(arrs.values())).shape[0]
+        tile = 1
+        while tile < b and tile < max_tile:
+            tile *= 2
+        outs = []
+        for i in range(0, b, tile):
+            chunk = {k: v[i:i + tile] for k, v in arrs.items()}
+            n = next(iter(chunk.values())).shape[0]
+            if n < tile:
+                chunk = {k: np.concatenate(
+                    [v, np.repeat(v[-1:], tile - n, axis=0)], axis=0)
+                    for k, v in chunk.items()}
+            pred, _ = self._infer(self.params, self.batch_stats,
+                                  {k: jnp.asarray(v) for k, v in chunk.items()})
+            outs.append(np.asarray(pred)[:n])
+        return np.concatenate(outs, axis=0)
 
     def export_serving(self, path: str, batch_size: int) -> int:
         """Serialize the ENTIRE raw-batch → depth inference graph (fused
