@@ -122,3 +122,22 @@ def test_stage1_graft_trains_end_to_end(tmp_path):
     import os
 
     assert os.path.exists(tmp_path / "ms" / "test.csv")
+
+
+def test_composes_with_uncertainty_variant():
+    """stage2_coarse composes with the uncertainty-weighted registry arch:
+    three outputs (coarse, refined, stage_log_var) and a 2-ch stage-2
+    radar conv1."""
+    rgb, radar = _inputs()
+    model, spec = create_model("resnet18_multistage_uncertainty",
+                               stage2_coarse=True, decoder="deconv2",
+                               output_size=(64, 96))
+    assert spec.multistage
+    v = model.init(jax.random.PRNGKey(0), rgb, radar, train=False)
+    k = v["params"]["stage2"]["radar_encoder"]["conv1"]["kernel"]
+    assert k.shape[2] == 2
+    out = model.apply({"params": v["params"],
+                       "batch_stats": v["batch_stats"]}, rgb, radar,
+                      train=False)
+    assert len(out) == 3 and out[2].shape == (2,)
+    assert np.isfinite(np.asarray(out[1])).all()
