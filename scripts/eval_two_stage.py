@@ -27,19 +27,27 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--run", required=True)
     p.add_argument("--data-root", required=True)
-    p.add_argument("--arch", default="resnet18_multistage",
-                   help="the run's arch (e.g. resnet18_multistage_uncertainty)")
+    # Model/data flags default to the run's own config.json (self-describing
+    # run dirs) — pass them only to OVERRIDE. This matters for correctness,
+    # not just convenience: the stage-2 filter has no parameters, so
+    # restoring a rel-filter run into an abs-filter graph would silently
+    # produce wrong refined outputs and keep-masks.
+    p.add_argument("--arch", default=None,
+                   help="override the run's arch "
+                        "(e.g. resnet18_multistage_uncertainty)")
+    p.add_argument("--decoder", default=None,
+                   choices=["deconv2", "deconv3", "upconv", "upproj"])
     p.add_argument("--batch", type=int, default=32)
-    p.add_argument("--height", type=int, default=450)
-    p.add_argument("--width", type=int, default=800)
-    p.add_argument("--sweeps", type=int, default=5)
-    p.add_argument("--dtype", default="bfloat16")
-    p.add_argument("--filter-mode", default="abs", choices=["abs", "rel", "or"])
-    p.add_argument("--stage2-coarse", action="store_true",
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--sweeps", type=int, default=None)
+    p.add_argument("--dtype", default=None)
+    p.add_argument("--filter-mode", default=None, choices=["abs", "rel", "or"])
+    p.add_argument("--stage2-coarse", action="store_true", default=None,
                    help="the run used --stage2-coarse (D1 as a stage-2 "
                         "radar-branch channel)")
-    p.add_argument("--abs-threshold", type=float, default=2.0)
-    p.add_argument("--rel-threshold", type=float, default=0.15)
+    p.add_argument("--abs-threshold", type=float, default=None)
+    p.add_argument("--rel-threshold", type=float, default=None)
     p.add_argument("--radius", type=int, default=4,
                    help="pixels around each projected radar return counted "
                         "as 'radar-local' for the per-pixel breakdown")
@@ -62,11 +70,41 @@ def main() -> int:
         prepare_eval_batch,
     )
 
+    stored = None
+    cfg_path = os.path.join(args.run, "config.json")
+    if os.path.isfile(cfg_path):
+        from radar_depth_tpu.config import load_config
+
+        stored = load_config(cfg_path)
+
+    def pick(cli, field, default):
+        if cli is not None:
+            return cli
+        if stored is not None:
+            section, name = field
+            return getattr(getattr(stored, section), name)
+        return default
+
+    args.arch = pick(args.arch, ("model", "arch"), "resnet18_multistage")
+    args.decoder = pick(args.decoder, ("model", "decoder"), "upproj")
+    args.dtype = pick(args.dtype, ("model", "dtype"), "bfloat16")
+    args.filter_mode = pick(args.filter_mode, ("model", "filter_mode"), "abs")
+    args.abs_threshold = pick(args.abs_threshold,
+                              ("model", "abs_threshold"), 2.0)
+    args.rel_threshold = pick(args.rel_threshold,
+                              ("model", "rel_threshold"), 0.15)
+    args.stage2_coarse = bool(pick(args.stage2_coarse,
+                                   ("model", "stage2_coarse"), False))
+    args.height = pick(args.height, ("data", "height"), 450)
+    args.width = pick(args.width, ("data", "width"), 800)
+    args.sweeps = pick(args.sweeps, ("data", "num_sweeps"), 5)
+
     cfg = TrainConfig(
         data=DataConfig(dataset="packed", data_root=args.data_root,
                         height=args.height, width=args.width,
                         num_sweeps=args.sweeps),
-        model=ModelConfig(arch=args.arch, dtype=args.dtype,
+        model=ModelConfig(arch=args.arch, decoder=args.decoder,
+                          dtype=args.dtype,
                           filter_mode=args.filter_mode,
                           abs_threshold=args.abs_threshold,
                           rel_threshold=args.rel_threshold,

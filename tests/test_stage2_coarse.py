@@ -141,3 +141,50 @@ def test_composes_with_uncertainty_variant():
                       train=False)
     assert len(out) == 3 and out[2].shape == (2,)
     assert np.isfinite(np.asarray(out[1])).all()
+
+
+@pytest.mark.slow
+def test_eval_two_stage_adopts_run_config(tmp_path, capsys):
+    """scripts/eval_two_stage.py with NO model flags must rebuild the run's
+    exact graph from config.json (the stage-2 filter is parameter-free, so a
+    wrong --filter-mode would silently mis-evaluate)."""
+    import importlib.util
+    import os
+    import sys
+
+    from radar_depth_tpu.data import packed
+    from radar_depth_tpu.data.synthetic import SyntheticNuScenes
+    from radar_depth_tpu.train.loop import Trainer
+
+    data = DataConfig(dataset="packed", data_root=str(tmp_path / "data"),
+                      height=64, width=96, num_sweeps=2)
+    spec = data.sample_spec()
+    for split, n, seed in (("train", 16, 1), ("val", 8, 2)):
+        d = tmp_path / "data" / split
+        d.mkdir(parents=True)
+        ds = SyntheticNuScenes(n, spec=spec, seed=seed)
+        packed.write_shard(str(d / "data.rdtp"), [ds[i] for i in range(n)])
+
+    cfg = TrainConfig(
+        data=data,
+        model=ModelConfig(arch="resnet18_multistage", decoder="deconv2",
+                          filter_mode="rel", stage2_coarse=True),
+        optim=OptimConfig(), augment=AugmentConfig(), batch_size=8,
+        epochs=1, output_dir=str(tmp_path / "run"), print_freq=100)
+    Trainer(cfg).fit()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec_mod = importlib.util.spec_from_file_location(
+        "eval_two_stage", os.path.join(repo, "scripts", "eval_two_stage.py"))
+    mod = importlib.util.module_from_spec(spec_mod)
+    spec_mod.loader.exec_module(mod)
+    old_argv = sys.argv
+    sys.argv = ["eval_two_stage.py", "--run", str(tmp_path / "run"),
+                "--data-root", str(tmp_path / "data"), "--batch", "8"]
+    try:
+        assert mod.main() == 0
+    finally:
+        sys.argv = old_argv
+    out = capsys.readouterr().out
+    assert "filter=rel" in out  # adopted from config.json, not the default
+    assert "refined" in out and "coarse" in out
