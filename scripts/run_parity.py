@@ -117,15 +117,28 @@ def run_parity(height=450, width=800, num_samples=16, batch=4, sweeps=5,
     ds = SyntheticNuScenes(num_samples, spec=spec, seed=seed + 1)
 
     arch = f"resnet{depth}_multistage"
+    # A --stage2-coarse run widens stage-2's radar conv1 to 2 input channels;
+    # adopt the flag from the run's config.json so the restore template (and
+    # the torch oracle) match the checkpoint. Both parity graphs still use
+    # the abs filter regardless of how the run trained — parity measures
+    # framework equivalence at fixed weights, not run reproduction.
+    stage2_coarse = False
+    if run_dir and os.path.isfile(os.path.join(run_dir, "config.json")):
+        from radar_depth_tpu.config import load_config
+
+        stage2_coarse = load_config(
+            os.path.join(run_dir, "config.json")).model.stage2_coarse
     model, arch_spec = create_model(arch, decoder=decoder,
                                     output_size=(height, width),
-                                    dtype=jnp.float32)
+                                    dtype=jnp.float32,
+                                    stage2_coarse=stage2_coarse)
     rgb0 = jnp.zeros((1, height, width, 3), jnp.float32)
     radar0 = jnp.zeros((1, height, width, 1), jnp.float32)
     template = model.init(jax.random.PRNGKey(0), rgb0, radar0, train=False)
 
     tmodel = TorchMultiStageNet(depth, decoder, (height, width),
-                                abs_threshold=2.0)
+                                abs_threshold=2.0,
+                                stage2_coarse=stage2_coarse)
     if run_dir:
         # jax→torch direction: trained checkpoint exported into the oracle.
         from radar_depth_tpu.config import DataConfig, ModelConfig, TrainConfig
@@ -133,7 +146,8 @@ def run_parity(height=450, width=800, num_samples=16, batch=4, sweeps=5,
 
         cfg = TrainConfig(
             data=DataConfig(height=height, width=width, num_sweeps=sweeps),
-            model=ModelConfig(arch=arch, decoder=decoder))
+            model=ModelConfig(arch=arch, decoder=decoder,
+                              stage2_coarse=stage2_coarse))
         predictor = Predictor.from_run(run_dir, cfg=cfg)
         variables = {
             "params": jax.tree_util.tree_map(np.asarray, predictor.params),
