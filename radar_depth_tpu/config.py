@@ -127,6 +127,13 @@ class TrainConfig:
     eval_splits: bool = False
     tensorboard: bool = False
     mesh_axis: str = "data"
+    # Spatial partitioning (SURVEY.md §5 "spatial partitioning of convs would
+    # be the analogue" — built, not just documented): shard image HEIGHT over
+    # a 'space' mesh axis of this size; batch shards over the remaining
+    # devices. GSPMD inserts the conv halo exchanges. Use when one sample's
+    # activations exceed a chip (ultra-high-res); topology knob, NOT adopted
+    # from run config.json.
+    spatial: int = 1
 
 
 def save_config(cfg: TrainConfig, path: str) -> None:
@@ -253,6 +260,10 @@ def parse_command(argv=None) -> TrainConfig:
     p.add_argument("--output-dir", default="runs/default")
     p.add_argument("--print-freq", type=int, default=10)
     p.add_argument("--tensorboard", action="store_true")
+    p.add_argument("--spatial", type=int, default=1,
+                   help="shard image height over a 'space' mesh axis of this "
+                        "size (spatial conv partitioning for ultra-high-res; "
+                        "batch shards over the remaining devices)")
     p.add_argument("--seed", type=int, default=42)
     # data
     p.add_argument("--dataset", default="synthetic", choices=["synthetic", "packed"])
@@ -350,4 +361,5 @@ def parse_command(argv=None) -> TrainConfig:
         evaluate=a.evaluate,
         print_freq=a.print_freq, tensorboard=a.tensorboard,
         metric_avg=a.metric_avg, eval_splits=a.eval_splits,
+        spatial=a.spatial,
     )

@@ -33,18 +33,56 @@ def make_mesh_2d(outer: int, inner: int,
     return Mesh(arr, axes)
 
 
+def make_spatial_mesh(spatial: int,
+                      devices: Optional[Sequence] = None) -> Mesh:
+    """(data, space) mesh for spatial partitioning (SURVEY.md §5 "if image
+    resolution ever exceeded per-chip memory, spatial partitioning of convs
+    would be the analogue"): the batch shards over 'data' and the image
+    HEIGHT dimension shards over 'space' (spatial_constraint below), with
+    GSPMD inserting the conv halo exchanges. Verified numerically equal to
+    the 1-device graph in tests/test_spatial.py (forward AND full train
+    micro-step). Validated regime: bottleneck height H/32 >= 3 — degenerate
+    2-row bottlenecks mis-partition gradient reductions (~4x inflation,
+    measured in the test sweep); Trainer enforces this."""
+    devices = list(devices if devices is not None else jax.devices())
+    if spatial < 1 or len(devices) % spatial:
+        raise ValueError(
+            f"spatial={spatial} must divide the device count {len(devices)}")
+    arr = np.array(devices).reshape(len(devices) // spatial, spatial)
+    return Mesh(arr, ("data", "space"))
+
+
+def _data_axes(mesh: Mesh) -> tuple:
+    return tuple(a for a in mesh.axis_names if a != "space")
+
+
 def batch_sharding(mesh: Mesh, accum: bool = False) -> NamedSharding:
-    """Shard the leading (batch) dimension over EVERY mesh axis; all other
-    dims replicated. On the standard 1-axis data mesh this is P('data'); on
-    a 2-axis (replica, data) mesh the batch splits over both (pure DP).
+    """Shard the leading (batch) dimension over every NON-spatial mesh axis;
+    all other dims replicated. On the standard 1-axis data mesh this is
+    P('data'); on a 2-axis (replica, data) mesh the batch splits over both
+    (pure DP); on a (data, space) spatial mesh only 'data' shards the batch —
+    'space' shards the image height inside the step (spatial_constraint).
     Applies to every leaf of a batch pytree.
 
     accum=True: leaves carry a leading gradient-accumulation axis
     (num_micro_batches, batch, ...) — the micro-batch axis stays whole on
     every chip (lax.scan iterates it) and the BATCH axis (dim 1) shards."""
-    spec = (P(None, tuple(mesh.axis_names)) if accum
-            else P(tuple(mesh.axis_names)))
+    axes = _data_axes(mesh)
+    spec = P(None, axes) if accum else P(axes)
     return NamedSharding(mesh, spec)
+
+
+def spatial_constraint(prepared: Dict, mesh: Optional[Mesh]) -> Dict:
+    """Inside a jitted step: constrain every NHWC leaf of the prepared batch
+    to P(data_axes, 'space') so XLA partitions the conv stack along image
+    height (halo exchanges ride ICI). No-op without a 'space' mesh axis —
+    the default data-parallel path compiles exactly as before."""
+    if mesh is None or "space" not in mesh.axis_names:
+        return prepared
+    sh = NamedSharding(mesh, P(_data_axes(mesh), "space"))
+    return {k: (jax.lax.with_sharding_constraint(v, sh)
+                if getattr(v, "ndim", 0) == 4 else v)
+            for k, v in prepared.items()}
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

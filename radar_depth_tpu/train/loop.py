@@ -73,8 +73,29 @@ class Trainer:
 
     def __init__(self, cfg: TrainConfig):
         self.cfg = cfg
-        self.mesh = make_mesh()
-        n_dev = self.mesh.devices.size
+        if cfg.spatial > 1:
+            from radar_depth_tpu.parallel.mesh import make_spatial_mesh
+
+            # Validated regime (tests/test_spatial.py sweep): backward-pass
+            # partitioning is exact for bottleneck heights H/32 >= 3; the
+            # degenerate H/32 == 2 case mis-partitions gradient reductions
+            # (measured ~4x inflation on the encoder side). Real working
+            # resolutions (>= 96 rows) are all inside the regime.
+            if cfg.data.height // 32 < 3:
+                raise ValueError(
+                    f"--spatial requires height >= 96 (got {cfg.data.height}"
+                    "): bottleneck feature maps shorter than 3 rows "
+                    "mis-partition the backward pass")
+            if cfg.data.height % cfg.spatial:
+                raise ValueError(
+                    f"height={cfg.data.height} is not divisible by "
+                    f"--spatial {cfg.spatial}")
+            self.mesh = make_spatial_mesh(cfg.spatial)
+        else:
+            self.mesh = make_mesh()
+        # Batch shards over the data axes only; a 'space' axis shards image
+        # height inside the step (parallel/mesh.py::spatial_constraint).
+        n_dev = self.mesh.devices.size // max(1, cfg.spatial)
         for name, bs in (("batch_size", cfg.batch_size),
                          ("eval_batch_size", cfg.eval_batch_size)):
             if bs and bs % n_dev != 0:
@@ -141,13 +162,14 @@ class Trainer:
         train_bshard = batch_sharding(self.mesh, accum=self._accum > 1)
         self._train_step = jax.jit(
             make_train_step(self.model, self.arch_spec, cfg, self.tx,
-                            host_augmented=self._host_augment),
+                            host_augmented=self._host_augment,
+                            mesh=self.mesh),
             in_shardings=(repl, train_bshard, repl),
             out_shardings=(repl, repl),
             donate_argnums=(0,),
         )
         self._eval_step = jax.jit(
-            make_eval_step(self.model, self.arch_spec, cfg),
+            make_eval_step(self.model, self.arch_spec, cfg, mesh=self.mesh),
             in_shardings=(repl, repl, bshard),
             out_shardings=repl,
         )

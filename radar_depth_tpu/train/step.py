@@ -71,12 +71,18 @@ def _loss_and_pred(out, target, cfg: TrainConfig, spec: ArchSpec):
 
 
 def make_micro_grad_fn(model, spec: ArchSpec, cfg: TrainConfig,
-                       host_augmented: bool = False) -> Callable:
+                       host_augmented: bool = False, mesh=None) -> Callable:
     """One micro-batch of the train step WITHOUT the optimizer update:
     (params, batch_stats, batch, key) -> (grads, new_batch_stats, sums).
     Shared by the plain train step (one micro-batch per update) and the
     gradient-accumulation scan; also the oracle surface for
-    tests/test_grad_accum.py."""
+    tests/test_grad_accum.py.
+
+    ``mesh``: when it carries a 'space' axis (--spatial), the prepared NHWC
+    tensors are sharding-constrained along image height so GSPMD spatially
+    partitions the conv stack (parallel/mesh.py::spatial_constraint)."""
+    from radar_depth_tpu.parallel.mesh import spatial_constraint
+
     pre_cfg = make_preprocess_config(cfg)
 
     def micro_grads(params, batch_stats, batch: Dict, key: jax.Array):
@@ -84,6 +90,7 @@ def make_micro_grad_fn(model, spec: ArchSpec, cfg: TrainConfig,
             prepared = prepare_eval_batch(batch, pre_cfg, key)
         else:
             prepared = prepare_train_batch(batch, pre_cfg, key)
+        prepared = spatial_constraint(prepared, mesh)
         target = prepared["target"]
 
         def loss_fn(p):
@@ -104,7 +111,7 @@ def make_micro_grad_fn(model, spec: ArchSpec, cfg: TrainConfig,
 
 def make_train_step(model, spec: ArchSpec, cfg: TrainConfig,
                     tx: optax.GradientTransformation,
-                    host_augmented: bool = False) -> Callable:
+                    host_augmented: bool = False, mesh=None) -> Callable:
     """host_augmented=True: batches were already augmented by the native
     loader's worker threads (warps + geometry folded into
     intrinsics/transforms — data/packed.py NativeBatchLoader(augment=...)),
@@ -121,7 +128,8 @@ def make_train_step(model, spec: ArchSpec, cfg: TrainConfig,
     averaged gradient; RNG folds (step, micro_index) so micro-batches draw
     independent augmentations. The reported loss sum is divided by
     grad_accum so its scale matches the plain step."""
-    micro_grads = make_micro_grad_fn(model, spec, cfg, host_augmented)
+    micro_grads = make_micro_grad_fn(model, spec, cfg, host_augmented,
+                                     mesh=mesh)
     accum = max(1, cfg.optim.grad_accum)
 
     def apply_update(state: TrainState, grads, batch_stats) -> TrainState:
@@ -177,11 +185,15 @@ def make_train_step(model, spec: ArchSpec, cfg: TrainConfig,
     return train_step
 
 
-def make_eval_step(model, spec: ArchSpec, cfg: TrainConfig) -> Callable:
+def make_eval_step(model, spec: ArchSpec, cfg: TrainConfig,
+                   mesh=None) -> Callable:
+    from radar_depth_tpu.parallel.mesh import spatial_constraint
+
     pre_cfg = make_preprocess_config(cfg)
 
     def eval_step(params, batch_stats, batch: Dict) -> Dict:
-        prepared = prepare_eval_batch(batch, pre_cfg)
+        prepared = spatial_constraint(prepare_eval_batch(batch, pre_cfg),
+                                      mesh)
         variables = {"params": params, "batch_stats": batch_stats}
         out = _forward(model, spec, variables, prepared, cfg,
                        train=False, mutable=False)
