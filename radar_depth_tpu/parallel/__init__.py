@@ -11,17 +11,21 @@ without touching step functions.
 from radar_depth_tpu.parallel.mesh import (
     make_mesh,
     make_mesh_2d,
+    make_spatial_mesh,
     batch_sharding,
     replicated_sharding,
     shard_batch,
+    spatial_constraint,
     pad_batch_to,
 )
 
 __all__ = [
     "make_mesh",
     "make_mesh_2d",
+    "make_spatial_mesh",
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",
+    "spatial_constraint",
     "pad_batch_to",
 ]
