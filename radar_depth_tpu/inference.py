@@ -81,7 +81,28 @@ class Predictor:
         self._pre = PreprocessConfig(
             spec=spec, height_extension=cfg.data.height_extension,
             raster_backend=cfg.data.raster_backend)
-        self._infer = jax.jit(self._infer_fn)
+        # cfg.spatial > 1: serve over a (data, space) mesh — image height
+        # sharded, GSPMD conv halo exchanges — for resolutions whose
+        # activations exceed one chip (parallel/mesh.py::make_spatial_mesh;
+        # equality vs the unsharded graph pinned in tests/test_spatial.py).
+        self._mesh = None
+        if cfg.spatial > 1:
+            from radar_depth_tpu.parallel.mesh import (
+                batch_sharding,
+                make_spatial_mesh,
+                replicated_sharding,
+            )
+
+            self._mesh = make_spatial_mesh(cfg.spatial)
+            repl = replicated_sharding(self._mesh)
+            self.params = jax.device_put(self.params, repl)
+            self.batch_stats = jax.device_put(self.batch_stats, repl)
+            self._infer = jax.jit(
+                self._infer_fn,
+                in_shardings=(repl, repl, batch_sharding(self._mesh)),
+                out_shardings=batch_sharding(self._mesh))
+        else:
+            self._infer = jax.jit(self._infer_fn)
 
     @classmethod
     def from_run(cls, run_dir: str, cfg: Optional[TrainConfig] = None,
@@ -118,6 +139,10 @@ class Predictor:
 
     def _infer_fn(self, params, batch_stats, batch):
         prepared = prepare_eval_batch(batch, self._pre)
+        if self._mesh is not None:
+            from radar_depth_tpu.parallel.mesh import spatial_constraint
+
+            prepared = spatial_constraint(prepared, self._mesh)
         inputs = pack_model_inputs(prepared, self.arch_spec.input_kind,
                                    self.cfg.model.modality)
         out = self.model.apply(

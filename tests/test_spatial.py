@@ -163,3 +163,35 @@ def test_trainer_spatial_epoch(tmp_path):
         output_dir=str(tmp_path / "bad"))
     with pytest.raises(ValueError, match="spatial requires height"):
         Trainer(bad)
+
+
+def test_predictor_spatial_matches_plain():
+    """Serving path: Predictor(cfg.spatial=4) builds the (data, space) mesh
+    and returns the same depth maps as the unsharded predictor (inference is
+    forward-only, exact under spatial partitioning at any height)."""
+    from radar_depth_tpu.data.synthetic import SyntheticNuScenes
+    from radar_depth_tpu.inference import Predictor
+    from radar_depth_tpu.train.step import init_model
+
+    import dataclasses
+
+    cfg = TrainConfig(
+        data=DataConfig(height=64, width=96, num_sweeps=2, num_train=8,
+                        num_val=4),
+        model=ModelConfig(arch="resnet18_latefusion", decoder="deconv2",
+                          dtype="float32"),
+        optim=OptimConfig(), augment=AugmentConfig(), batch_size=4,
+        epochs=1, output_dir="/tmp/unused")
+    model, spec = create_model(cfg.model.arch, decoder="deconv2",
+                               output_size=(64, 96))
+    v = init_model(model, spec, cfg, jax.random.PRNGKey(0))
+
+    plain = Predictor(cfg, v["params"], v["batch_stats"])
+    sp = Predictor(dataclasses.replace(cfg, spatial=4), v["params"],
+                   v["batch_stats"])
+    assert sp._mesh is not None and sp._mesh.axis_names == ("data", "space")
+
+    batch = SyntheticNuScenes(4, spec=cfg.data.sample_spec(), seed=9).batch(
+        range(4))
+    np.testing.assert_allclose(sp.predict(batch), plain.predict(batch),
+                               rtol=1e-5, atol=1e-5)
