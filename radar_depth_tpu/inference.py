@@ -167,6 +167,10 @@ class Predictor:
         tile = 1
         while tile < b and tile < max_tile:
             tile *= 2
+        if self._mesh is not None:
+            # Sharded leading dims must divide by the data-axis size; short
+            # requests pad up to it (data-axis sizes are powers of two).
+            tile = max(tile, int(self._mesh.shape["data"]))
         outs = []
         for i in range(0, b, tile):
             chunk = {k: v[i:i + tile] for k, v in arrs.items()}

@@ -195,3 +195,11 @@ def test_predictor_spatial_matches_plain():
         range(4))
     np.testing.assert_allclose(sp.predict(batch), plain.predict(batch),
                                rtol=1e-5, atol=1e-5)
+
+    # B=1 request: the tile pads up to the data-axis size (sharded leading
+    # dims must divide evenly) and the padding is sliced off the output
+    one = SyntheticNuScenes(1, spec=cfg.data.sample_spec(), seed=9).batch(
+        range(1))
+    got = sp.predict(one)
+    assert got.shape[0] == 1
+    np.testing.assert_allclose(got, plain.predict(one), rtol=1e-5, atol=1e-5)
