@@ -19,6 +19,33 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _device_count_or_die(timeout_s: int) -> int:
+    """First device touch, watchdogged. The relay backend can wedge so that
+    jax.devices() blocks FOREVER in the TPU-claim leg (observed r3: outage
+    froze every client with zero CPU progress) — a hung bench would stall
+    the whole driver run. A daemon watchdog hard-exits with a diagnostic on
+    stderr instead; rc=3 tells the driver 'environment, not framework'."""
+    import os
+    import sys
+    import threading
+
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            sys.stderr.write(
+                f"bench.py: jax.device_count() still blocked after "
+                f"{timeout_s}s — device relay unreachable (see NOTES.md "
+                "relay-outage row); aborting instead of hanging\n")
+            sys.stderr.flush()
+            os._exit(3)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    n = jax.device_count()
+    done.set()
+    return n
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=128)
@@ -55,7 +82,7 @@ def main():
         prepare_eval_batch,
     )
 
-    n_chips = jax.device_count()
+    n_chips = _device_count_or_die(timeout_s=600)
     spec = SampleSpec(height=args.height, width=args.width,
                       num_sweeps=args.sweeps, max_depth=80.0)
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[args.dtype]
