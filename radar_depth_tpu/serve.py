@@ -1,0 +1,152 @@
+"""HTTP serving daemon around :class:`radar_depth_tpu.inference.Predictor`.
+
+The reference's only "serving" surface is `--evaluate` over a dataset
+(upstream:main.py, SURVEY.md §3.2); this is the deployment-shaped superset:
+a single-process daemon that loads a run dir (or StableHLO artifact weights
+via Predictor) once and answers depth requests over HTTP.
+
+    python -m radar_depth_tpu.serve --run runs/ms --port 8712
+
+Wire format (stdlib-only on both ends):
+  POST /predict   body = npz (numpy savez) of schema batch arrays
+                  (data/schema.py SAMPLE_KEYS, leading batch dim)
+                  → 200, body = npz {"depth": (B, H, W) float32 meters}
+  GET  /healthz   → 200 "ok" once the model is loaded and warmed
+
+Requests are tiled to power-of-two device batches internally
+(Predictor.predict), so arbitrary request sizes neither recompile per size
+nor hit the non-pow2 batch-padding cliff (NOTES.md). The device dispatch is
+serialized with a lock — JAX dispatch is async and the server threads only
+block on the final fetch, so pipelining comes from overlapping request
+decode/encode with device compute.
+
+Client example:
+
+    import io, urllib.request, numpy as np
+    buf = io.BytesIO(); np.savez(buf, **batch)
+    req = urllib.request.Request("http://host:8712/predict",
+                                 data=buf.getvalue(), method="POST")
+    out = np.load(io.BytesIO(urllib.request.urlopen(req).read()))
+    depth = out["depth"]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+
+class DepthServer:
+    """Owns the Predictor and the device lock; builds the HTTP server."""
+
+    def __init__(self, predictor, max_tile: int = 128):
+        self.predictor = predictor
+        self.max_tile = max_tile
+        self._lock = threading.Lock()
+        self.ready = False
+
+    def warmup(self) -> None:
+        """Compile the serving program on a synthetic batch so the first
+        real request doesn't pay the jit."""
+        from radar_depth_tpu.data.synthetic import SyntheticNuScenes
+
+        spec = self.predictor.cfg.data.sample_spec()
+        n = min(self.max_tile, 2)
+        batch = SyntheticNuScenes(n, spec=spec, seed=0).batch(range(n))
+        with self._lock:
+            self.predictor.predict(batch, max_tile=self.max_tile)
+        self.ready = True
+
+    def predict_npz(self, body: bytes) -> bytes:
+        batch = {k: v for k, v in np.load(io.BytesIO(body)).items()}
+        with self._lock:
+            depth = self.predictor.predict(batch, max_tile=self.max_tile)
+        out = io.BytesIO()
+        np.savez(out, depth=np.asarray(depth, np.float32))
+        return out.getvalue()
+
+    def handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # quiet; stdout is the log
+                pass
+
+            def _send(self, code: int, body: bytes,
+                      ctype: str = "application/octet-stream"):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    if server.ready:
+                        self._send(200, b"ok", "text/plain")
+                    else:
+                        self._send(503, b"warming up", "text/plain")
+                else:
+                    self._send(404, b"not found", "text/plain")
+
+            def do_POST(self):
+                if self.path != "/predict":
+                    self._send(404, b"not found", "text/plain")
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    body = self.rfile.read(n)
+                    self._send(200, server.predict_npz(body))
+                except Exception as e:  # surface the error to the client
+                    msg = json.dumps({"error": f"{type(e).__name__}: {e}"})
+                    self._send(400, msg.encode(), "application/json")
+
+        return Handler
+
+    def serve(self, host: str, port: int) -> ThreadingHTTPServer:
+        httpd = ThreadingHTTPServer((host, port), self.handler())
+        return httpd
+
+
+def main(argv: Optional[list] = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--run", required=True, help="training run dir "
+                   "(self-describing config.json; best checkpoint)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8712)
+    p.add_argument("--max-tile", type=int, default=128,
+                   help="device batch tile (pow2; see NOTES.md batch cliff)")
+    p.add_argument("--spatial", type=int, default=1,
+                   help="serve over a (data, space) mesh — image height "
+                        "sharded over this many devices (ultra-high-res)")
+    args = p.parse_args(argv)
+
+    from radar_depth_tpu.inference import Predictor
+
+    overrides = {"spatial": args.spatial} if args.spatial > 1 else {}
+    predictor = Predictor.from_run(args.run, **overrides)
+    srv = DepthServer(predictor, max_tile=args.max_tile)
+    print(f"serving {args.run} on http://{args.host}:{args.port} "
+          f"(arch={predictor.cfg.model.arch}, "
+          f"{predictor.cfg.data.height}x{predictor.cfg.data.width}, "
+          f"max_tile={args.max_tile}); warming up...")
+    srv.warmup()
+    print("ready")
+    httpd = srv.serve(args.host, args.port)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
