@@ -216,6 +216,14 @@ def _adopt_run_config(a, parser) -> None:
         run = os.path.dirname(run)
     path = os.path.join(run, "config.json")
     if not os.path.isfile(path):
+        if "multistage" in a.arch:
+            # Measured foot-gun (NOTES.md r3): evaluating a rel-filter run
+            # with the default abs filter silently rebuilds a different
+            # graph (the filter has no params, so restore succeeds) and
+            # cost 6.7% RMSE on the r34 best checkpoint.
+            print(f"warning: {path} not found — cannot recover the run's "
+                  "filter flags; make sure --filter-mode/--*-threshold"
+                  "/--stage2-coarse match how it was trained")
         return
     with open(path) as f:
         saved = json.load(f)
