@@ -127,6 +127,13 @@ class TrainConfig:
     eval_splits: bool = False
     tensorboard: bool = False
     mesh_axis: str = "data"
+    # Stall watchdog: hard-exit (code 86) if no train/val batch completes
+    # for this many seconds — the device backend can wedge with an in-flight
+    # dispatch blocked forever (measured multi-hour relay outage, NOTES.md);
+    # saves are atomic and --resume is exact, so a loud resumable crash
+    # beats a silent hang. Must exceed the longest single blocking call
+    # (full-res remote compiles: 5-10 min). 0 disables.
+    stall_timeout: float = 3600.0
     # Spatial partitioning (SURVEY.md §5 "spatial partitioning of convs would
     # be the analogue" — built, not just documented): shard image HEIGHT over
     # a 'space' mesh axis of this size; batch shards over the remaining
@@ -268,6 +275,10 @@ def parse_command(argv=None) -> TrainConfig:
     p.add_argument("--output-dir", default="runs/default")
     p.add_argument("--print-freq", type=int, default=10)
     p.add_argument("--tensorboard", action="store_true")
+    p.add_argument("--stall-timeout", type=float, default=3600.0,
+                   help="exit 86 (resumable crash) if no batch completes "
+                        "for this many seconds — wedged-backend protection; "
+                        "0 disables")
     p.add_argument("--spatial", type=int, default=1,
                    help="shard image height over a 'space' mesh axis of this "
                         "size (spatial conv partitioning for ultra-high-res; "
@@ -369,5 +380,5 @@ def parse_command(argv=None) -> TrainConfig:
         evaluate=a.evaluate,
         print_freq=a.print_freq, tensorboard=a.tensorboard,
         metric_avg=a.metric_avg, eval_splits=a.eval_splits,
-        spatial=a.spatial,
+        spatial=a.spatial, stall_timeout=a.stall_timeout,
     )

@@ -393,6 +393,7 @@ class Trainer:
         t0 = time.perf_counter()
         window_t0, window_n, window_data = t0, 0, 0.0
         for batch in self._train_groups(epoch):
+            self._beat()
             batch = shard_batch(batch, self.mesh, accum=self._accum > 1)
             t1 = time.perf_counter()
             self.state, step_sums = self._train_step(self.state, batch, key)
@@ -449,6 +450,7 @@ class Trainer:
         for i, batch in enumerate(iterate_batches(self.val_ds, ebs,
                                                   False, 0, drop_last=False,
                                                   indices=indices)):
+            self._beat()
             batch, _ = pad_batch_to(batch, ebs)
             batch = shard_batch(batch, self.mesh)
             t1 = time.perf_counter()
@@ -518,23 +520,41 @@ class Trainer:
         self.maybe_init_from_stage1()
         self.maybe_warm_start()
         self.maybe_resume()
-        for epoch in range(self.start_epoch, cfg.epochs):
-            train_m = self.train_epoch(epoch)
-            self.train_log.append(epoch, train_m)
-            val_m = self.validate(epoch)
-            self.val_log.append(epoch, val_m)
-            if self.tboard is not None:
-                self.tboard.log("train", epoch, train_m)
-                self.tboard.log("val", epoch, val_m)
-            print(f"epoch {epoch}: val rmse={val_m['rmse']:.4f} "
-                  f"mae={val_m['mae']:.4f} d1={val_m['delta1']:.4f}")
-            self.ckpt.save(epoch, jax.tree_util.tree_map(np.asarray, self.state),
-                           val_m)
-            if val_m["rmse"] < self.best_rmse:
-                self.best_rmse = val_m["rmse"]
-                write_best_txt(os.path.join(cfg.output_dir, "best.txt"),
-                               epoch, val_m)
+        # Stall watchdog (--stall-timeout): the device backend can wedge so
+        # an in-flight dispatch blocks forever (measured multi-hour relay
+        # outage, NOTES.md). Saves are atomic + --resume is exact, so dying
+        # loudly beats hanging silently. beat() per train/val batch; the
+        # timeout must exceed the largest single blocking call (full-res
+        # remote compiles run 5-10 min on the relay).
+        from radar_depth_tpu.utils.watchdog import StallWatchdog
+
+        with StallWatchdog(cfg.stall_timeout,
+                           context=f"training {cfg.output_dir}") as wd:
+            self._watchdog = wd
+            for epoch in range(self.start_epoch, cfg.epochs):
+                train_m = self.train_epoch(epoch)
+                self.train_log.append(epoch, train_m)
+                val_m = self.validate(epoch)
+                self.val_log.append(epoch, val_m)
+                if self.tboard is not None:
+                    self.tboard.log("train", epoch, train_m)
+                    self.tboard.log("val", epoch, val_m)
+                print(f"epoch {epoch}: val rmse={val_m['rmse']:.4f} "
+                      f"mae={val_m['mae']:.4f} d1={val_m['delta1']:.4f}")
+                self.ckpt.save(epoch,
+                               jax.tree_util.tree_map(np.asarray, self.state),
+                               val_m)
+                if val_m["rmse"] < self.best_rmse:
+                    self.best_rmse = val_m["rmse"]
+                    write_best_txt(os.path.join(cfg.output_dir, "best.txt"),
+                                   epoch, val_m)
+        self._watchdog = None
         self.close()
+
+    def _beat(self):
+        wd = getattr(self, "_watchdog", None)
+        if wd is not None:
+            wd.beat()
 
     def close(self):
         """Release host resources (native prefetch threads, checkpointer,
