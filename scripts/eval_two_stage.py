@@ -98,11 +98,15 @@ def main() -> int:
     args.height = pick(args.height, ("data", "height"), 450)
     args.width = pick(args.width, ("data", "width"), 800)
     args.sweeps = pick(args.sweeps, ("data", "num_sweeps"), 5)
+    height_extension = pick(None, ("data", "height_extension"), 0)
+    raster_backend = pick(None, ("data", "raster_backend"), "sorted")
 
     cfg = TrainConfig(
         data=DataConfig(dataset="packed", data_root=args.data_root,
                         height=args.height, width=args.width,
-                        num_sweeps=args.sweeps),
+                        num_sweeps=args.sweeps,
+                        height_extension=height_extension,
+                        raster_backend=raster_backend),
         model=ModelConfig(arch=args.arch, decoder=args.decoder,
                           dtype=args.dtype,
                           filter_mode=args.filter_mode,
@@ -113,7 +117,11 @@ def main() -> int:
     )
     pred = Predictor.from_run(args.run, cfg)
     spec = cfg.data.sample_spec()
-    pre = PreprocessConfig(spec=spec)
+    # Must mirror training-time rasterization: a run trained with radar
+    # height extension evaluated without it sees different radar maps
+    # (same silent-mismatch class as the filter-mode foot-gun above).
+    pre = PreprocessConfig(spec=spec, height_extension=height_extension,
+                           raster_backend=raster_backend)
 
     @jax.jit
     def infer_both(params, batch_stats, batch):
