@@ -52,8 +52,10 @@ class DepthServer:
         self.ready = False
 
     def warmup(self) -> None:
-        """Compile the serving program on a synthetic batch so the first
-        real request doesn't pay the jit."""
+        """Compile the serving program on a synthetic batch before marking
+        ready. Tiles compile per power-of-two size on first use, so the
+        first request at a NEW tile size still pays one jit — steady-state
+        traffic at a stable batch size never does."""
         from radar_depth_tpu.data.synthetic import SyntheticNuScenes
 
         spec = self.predictor.cfg.data.sample_spec()
