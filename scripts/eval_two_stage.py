@@ -55,6 +55,9 @@ def main() -> int:
                    choices=["batch", "sample"],
                    help="averaging convention; 'batch' matches the trainer "
                         "CSVs / reference AverageMeter")
+    p.add_argument("--split", default="",
+                   help="restrict to one tag from the val tags sidecar "
+                        "(e.g. day / night)")
     args = p.parse_args()
 
     import jax
@@ -155,7 +158,24 @@ def main() -> int:
         return coarse, refined, target, radar, eff
 
     ds = PackedDataset(os.path.join(args.data_root, "val"))
-    n = len(ds)
+    if args.split:
+        # Restrict to one day/night split (tags sidecar). This is the
+        # direct test of the paper's premise: radar should matter most
+        # where the image is degraded, so coarse-vs-refined ON NIGHT
+        # frames is the sharpest ablation row. Ragged tails are padded by
+        # repeating the last sample with a zeroed target (pad_batch_to),
+        # which the masked metrics skip; the filter-efficacy counts skip
+        # padding too (has_gt needs target > 0). `radar_px` alone counts
+        # padded returns — cosmetic.
+        indices = [i for i in range(len(ds)) if ds.sample_tag(i) == args.split]
+        if not indices:
+            print(f"no samples tagged {args.split!r}")
+            return 1
+    else:
+        indices = list(range(len(ds)))
+    from radar_depth_tpu.parallel.mesh import pad_batch_to
+
+    n = len(indices)
     sums = {"coarse": None, "refined": None,
             "coarse_radar_local": None, "refined_radar_local": None}
 
@@ -165,9 +185,10 @@ def main() -> int:
 
     r = args.radius
     eff_tot = None
-    for i0 in range(0, n - n % args.batch, args.batch):
-        batch = {k: jnp.asarray(v)
-                 for k, v in ds.batch(range(i0, i0 + args.batch)).items()}
+    for i0 in range(0, n, args.batch):
+        chunk = indices[i0:i0 + args.batch]
+        batch, _ = pad_batch_to(ds.batch(chunk), args.batch)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
         coarse, refined, target, radar, eff = infer_both(
             pred.params, pred.batch_stats, batch)
         eff_tot = eff if eff_tot is None else jax.tree_util.tree_map(
@@ -189,7 +210,7 @@ def main() -> int:
            for k, v in sums.items()}
     print(f"run={args.run} filter={args.filter_mode} "
           f"(abs={args.abs_threshold}, rel={args.rel_threshold}) "
-          f"val n={n - n % args.batch}")
+          f"val n={n}" + (f" split={args.split}" if args.split else ""))
     keys = ["rmse", "mae", "absrel", "delta1"]
     print(f"{'output':24s} " + " ".join(f"{k:>8s}" for k in keys))
     for name in ("coarse", "refined", "coarse_radar_local",
