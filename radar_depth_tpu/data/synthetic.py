@@ -66,6 +66,15 @@ class SceneConfig:
     # get a darkened render + higher sensor noise; radar/LiDAR are unaffected
     # (radar is lighting-invariant — the paper's motivation).
     night_frac: float = 0.25
+    # Night severity 0..1 (r3-s3 NOTES "night-split" row): at 0 the mild
+    # model (0.22x brightness + σ=6 noise) leaves the image branch enough
+    # signal that two-stage refinement never beats its coarse branch, even
+    # on night frames. Severity > 0 DESTROYS information the way real night
+    # does — deeper underexposure with shadow crush (clipping to 0 is not
+    # invertible by normalization), horizontal motion blur (long exposure),
+    # stronger sensor noise — to test whether radar refinement pays once
+    # the image genuinely degrades. 0 preserves the r3 datasets bit-exactly.
+    night_severity: float = 0.0
 
 
 def _nuscenes_intrinsics(height: int, width: int) -> np.ndarray:
@@ -309,8 +318,22 @@ class SyntheticNuScenes:
             # darken + extra sensor noise; geometry (GT/radar) untouched
             nrng = np.random.default_rng(
                 np.random.SeedSequence([self.seed, index, 0x4E494749]))
-            dark = image.astype(np.float32) * 0.22
-            dark += nrng.normal(0, 6.0, dark.shape)
+            s = float(cfg.night_severity)
+            dark = image.astype(np.float32) * (0.22 - 0.14 * s)
+            if s > 0:
+                # long-exposure horizontal motion blur (box filter)
+                w = 1 + 2 * int(round(3 * s))
+                k = np.ones(w, np.float32) / w
+                pad = np.pad(dark, ((0, 0), (w // 2, w // 2), (0, 0)),
+                             mode="edge")
+                dark = np.stack([
+                    np.apply_along_axis(
+                        lambda r: np.convolve(r, k, mode="valid"), 1,
+                        pad[..., c]) for c in range(dark.shape[-1])], axis=-1)
+                # shadow crush: everything below the floor clips to 0 —
+                # texture in dark regions is DESTROYED, not just scaled
+                dark = np.maximum(dark - 12.0 * s, 0.0)
+            dark += nrng.normal(0, 6.0 + 12.0 * s, dark.shape)
             image = np.clip(dark, 0, 255).astype(np.uint8)
 
         lidar = self._lidar_points(world, rng)

@@ -38,13 +38,21 @@ def main() -> int:
     p.add_argument("--max-shard-bytes", type=int, default=4 << 30,
                    help="roll to a new shard file at this size (streaming "
                         "writes, bounded memory; VERDICT r2 #3)")
+    p.add_argument("--night-severity", type=float, default=0.0,
+                   help="0..1: information-destroying night rendering "
+                        "(shadow crush, motion blur, heavy noise) — the "
+                        "condition under which radar refinement should pay "
+                        "(NOTES.md night-split row); 0 = the mild r3 model")
     args = p.parse_args()
 
+    from radar_depth_tpu.data.synthetic import SceneConfig
+
+    scene = SceneConfig(night_severity=args.night_severity)
     spec = SampleSpec(height=args.height, width=args.width,
                       num_sweeps=args.sweeps)
     for split, n, seed in (("train", args.num_train, args.seed),
                            ("val", args.num_val, args.seed + 1)):
-        ds = SyntheticNuScenes(n, spec=spec, seed=seed)
+        ds = SyntheticNuScenes(n, spec=spec, seed=seed, scene=scene)
         out_dir = os.path.join(args.out, split)
         t0 = time.time()
         paths = write_shards(out_dir, (ds[i] for i in range(n)),

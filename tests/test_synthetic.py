@@ -126,3 +126,40 @@ def test_radar_pathologies_severity():
     bad_b, tot_b = corrupt_count(benign)
     assert bad_e >= 3 * max(bad_b, 1), (bad_e, bad_b)
     assert bad_e / tot_e > 0.4, f"enriched outlier frac too low: {bad_e/tot_e}"
+
+
+def test_night_severity_destroys_information():
+    """night_severity=0 reproduces the mild model bit-exactly (r3 datasets
+    unchanged); severity ramps DESTROY image information monotonically
+    (shadow crush → more clipped-to-zero pixels; blur+noise → lower
+    correlation with the severity-0 night render). Geometry (radar/lidar)
+    stays untouched at every severity."""
+    from radar_depth_tpu.data.synthetic import SceneConfig, SyntheticNuScenes
+
+    spec = SampleSpec(height=96, width=160, num_sweeps=2)
+
+    def night_sample(severity, seed=11):
+        cfg = SceneConfig(night_frac=1.0, night_severity=severity)
+        ds = SyntheticNuScenes(4, spec=spec, seed=seed, scene=cfg)
+        assert ds.is_night(0)
+        return ds[0]
+
+    mild_a, mild_b = night_sample(0.0), night_sample(0.0)
+    np.testing.assert_array_equal(mild_a["image"], mild_b["image"])  # determ.
+
+    img0 = night_sample(0.0)["image"].astype(np.float32)
+    zeros, corrs = [], []
+    for s in (0.0, 0.5, 1.0):
+        smp = night_sample(s)
+        img = smp["image"].astype(np.float32)
+        zeros.append(float((img == 0).mean()))
+        corrs.append(float(np.corrcoef(img.ravel(), img0.ravel())[0, 1]))
+        # lighting-invariant sensors are untouched by severity
+        np.testing.assert_array_equal(smp["radar_points"],
+                                      night_sample(0.0)["radar_points"])
+        np.testing.assert_array_equal(smp["lidar_depth"],
+                                      night_sample(0.0)["lidar_depth"])
+    assert zeros[0] < zeros[1] < zeros[2]  # shadow crush grows
+    assert corrs[0] > 0.99  # s=0 is the same render
+    assert corrs[1] > corrs[2]  # information loss grows with severity
+    assert corrs[2] < 0.8  # severity 1 is a materially different image
