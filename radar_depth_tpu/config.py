@@ -141,6 +141,13 @@ class TrainConfig:
     # activations exceed a chip (ultra-high-res); topology knob, NOT adopted
     # from run config.json.
     spatial: int = 1
+    # Backend selection: "default" keeps whatever backend the interpreter
+    # booted with (the axon TPU plugin registers itself via sitecustomize
+    # and the JAX_PLATFORMS env var is ignored — measured); "cpu" forces the
+    # CPU backend via jax.config before first device use, so eval/ablation
+    # runs can execute off-TPU without hand-rolled wrappers. Host knob —
+    # NOT adopted from run config.json.
+    platform: str = "default"
 
 
 def save_config(cfg: TrainConfig, path: str) -> None:
@@ -344,6 +351,9 @@ def parse_command(argv=None) -> TrainConfig:
                         "batch-size-invariant per-sample means")
     p.add_argument("--eval-splits", action="store_true",
                    help="report per-split (day/night) metrics at --evaluate")
+    p.add_argument("--platform", default="default", choices=["default", "cpu"],
+                   help="force the jax backend; 'cpu' runs this process "
+                        "off-TPU (the axon plugin ignores JAX_PLATFORMS)")
     a = p.parse_args(argv)
     if a.evaluate or a.resume:
         _adopt_run_config(a, p)
@@ -381,4 +391,5 @@ def parse_command(argv=None) -> TrainConfig:
         print_freq=a.print_freq, tensorboard=a.tensorboard,
         metric_avg=a.metric_avg, eval_splits=a.eval_splits,
         spatial=a.spatial, stall_timeout=a.stall_timeout,
+        platform=a.platform,
     )

@@ -15,6 +15,12 @@ from radar_depth_tpu.train.loop import Trainer
 
 def main(argv=None) -> int:
     cfg = parse_command(argv)
+    if cfg.platform == "cpu":
+        # Must land before first device use; the axon sitecustomize plugin
+        # ignores JAX_PLATFORMS, so jax.config is the only reliable switch.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     trainer = Trainer(cfg)
     if cfg.evaluate:
         trainer.load_for_evaluate()

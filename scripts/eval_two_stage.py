@@ -58,10 +58,16 @@ def main() -> int:
     p.add_argument("--split", default="",
                    help="restrict to one tag from the val tags sidecar "
                         "(e.g. day / night)")
+    p.add_argument("--platform", default="default", choices=["default", "cpu"],
+                   help="force the jax backend; 'cpu' evaluates off-TPU "
+                        "(the axon plugin ignores JAX_PLATFORMS)")
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     from radar_depth_tpu.config import DataConfig, ModelConfig, TrainConfig
     from radar_depth_tpu.data.packed import PackedDataset

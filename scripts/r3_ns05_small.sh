@@ -5,7 +5,7 @@
 # and sev-1 (s2c refined beats coarse on RMSE outright).
 set -x
 cd /root/repo
-export JAX_PLATFORMS=cpu
+# (JAX_PLATFORMS is ignored by the axon plugin; --platform cpu below is the real switch)
 D=data/synth_ns05_small
 LF=runs/ns05_lf
 MS=runs/ns05_s2c
@@ -13,15 +13,15 @@ MS=runs/ns05_s2c
 nice -n 15 python -m radar_depth_tpu.train.main --arch resnet18_latefusion \
     --decoder upproj --dataset packed --data-root $D --height 96 --width 160 \
     --num-sweeps 3 -b 8 --epochs 20 --lr 0.01 --lr-decay-epochs 8 \
-    --workers 1 --output-dir $LF || exit 1
+    --workers 1 --platform cpu --output-dir $LF || exit 1
 
 nice -n 15 python -m radar_depth_tpu.train.main --arch resnet18_multistage \
     --decoder upproj --stage1-path $LF --dataset packed --data-root $D \
     --height 96 --width 160 --num-sweeps 3 -b 8 --epochs 14 --lr 0.002 \
     --lr-decay-epochs 8 --filter-mode rel --stage2-coarse \
-    --workers 1 --output-dir $MS || exit 2
+    --workers 1 --platform cpu --output-dir $MS || exit 2
 
-nice -n 15 python scripts/eval_two_stage.py --run $MS --data-root $D > data/ns05_eval_all.txt 2>&1
-nice -n 15 python scripts/eval_two_stage.py --run $MS --data-root $D --split night > data/ns05_eval_night.txt 2>&1
-nice -n 15 python scripts/eval_two_stage.py --run $MS --data-root $D --split day > data/ns05_eval_day.txt 2>&1
+nice -n 15 python scripts/eval_two_stage.py --run $MS --data-root $D --platform cpu > data/ns05_eval_all.txt 2>&1
+nice -n 15 python scripts/eval_two_stage.py --run $MS --data-root $D --platform cpu --split night > data/ns05_eval_night.txt 2>&1
+nice -n 15 python scripts/eval_two_stage.py --run $MS --data-root $D --platform cpu --split day > data/ns05_eval_day.txt 2>&1
 echo CHAIN_DONE

@@ -130,3 +130,19 @@ def test_trainer_writes_config_and_from_run_reads_it(tmp_path):
     depth = p.predict(batch)
     assert depth.shape == (8, 64, 96)
     assert np.isfinite(depth).all()
+
+
+def test_platform_flag_is_host_knob(tmp_path):
+    """--platform parses, and a run's saved platform is NEVER adopted at
+    --evaluate/--resume: where a run executed (TPU vs forced-CPU ablation)
+    is a property of the host it ran on, not of the model/data."""
+    import dataclasses
+
+    assert parse_command(["--platform", "cpu"]).platform == "cpu"
+    assert parse_command([]).platform == "default"
+
+    run = tmp_path / "run"
+    run.mkdir()
+    cfg = dataclasses.replace(make_cfg(run), platform="cpu")
+    save_config(cfg, str(run / "config.json"))
+    assert parse_command(["--evaluate", str(run)]).platform == "default"
