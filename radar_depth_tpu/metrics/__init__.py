@@ -14,9 +14,9 @@ shards").
 Averaging convention: the reference's AverageMeter weights each *batch* by its
 sample count (`meter.update(result, n=batch_size)`), i.e. each metric is first
 averaged over valid pixels within a sample-batch, then averaged over batches.
-We follow the same convention at sample granularity (per-sample pixel
-average → mean over samples), which matches AverageMeter exactly when batch
-sizes are uniform.
+The default (`--metric-avg batch`) reproduces that convention exactly; the
+opt-in `sample` granularity (per-sample pixel average → mean over samples)
+is padding-exact and matches AverageMeter when batch sizes are uniform.
 """
 
 from __future__ import annotations

@@ -20,6 +20,15 @@ serialized with a lock — JAX dispatch is async and the server threads only
 block on the final fetch, so pipelining comes from overlapping request
 decode/encode with device compute.
 
+Concurrent-load path (VERDICT r3 #8): with ``--batch-window-ms W`` > 0, a
+dispatcher thread coalesces requests that arrive within a W-ms window (and
+share array shapes) into ONE device batch of up to max_tile samples, then
+splits the depth maps back per request. Single-flight per-request cost is
+dominated by fixed per-dispatch overhead at small request sizes, so
+coalescing N concurrent 1-sample requests costs ~one 8-sample dispatch
+instead of 8 serialized ones (measured: scripts/bench_serve_concurrency.py,
+table in NOTES.md). W=0 (default) keeps the plain serialized behavior.
+
 Client example:
 
     import io, urllib.request, numpy as np
@@ -42,14 +51,39 @@ from typing import Optional
 import numpy as np
 
 
+class _Pending:
+    """One enqueued request awaiting the coalescing dispatcher."""
+
+    __slots__ = ("batch", "n", "key", "event", "result", "error")
+
+    def __init__(self, batch, key):
+        self.batch = batch
+        self.n = next(iter(batch.values())).shape[0]
+        self.key = key  # shape signature — only like requests coalesce
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
 class DepthServer:
     """Owns the Predictor and the device lock; builds the HTTP server."""
 
-    def __init__(self, predictor, max_tile: int = 128):
+    def __init__(self, predictor, max_tile: int = 128,
+                 batch_window_ms: float = 0.0):
         self.predictor = predictor
         self.max_tile = max_tile
+        self.batch_window_ms = batch_window_ms
         self._lock = threading.Lock()
         self.ready = False
+        self._queue: list = []
+        self._qcv = threading.Condition()
+        self._stop = False
+        self.dispatch_count = 0  # device dispatches (observability + tests)
+        self._dispatcher = None
+        if batch_window_ms > 0:
+            self._dispatcher = threading.Thread(
+                target=self._dispatch_loop, daemon=True)
+            self._dispatcher.start()
 
     def warmup(self) -> None:
         """Compile the serving program on a synthetic batch before marking
@@ -67,11 +101,81 @@ class DepthServer:
 
     def predict_npz(self, body: bytes) -> bytes:
         batch = {k: v for k, v in np.load(io.BytesIO(body)).items()}
-        with self._lock:
-            depth = self.predictor.predict(batch, max_tile=self.max_tile)
+        if self.batch_window_ms > 0:
+            depth = self._predict_coalesced(batch)
+        else:
+            with self._lock:
+                self.dispatch_count += 1
+                depth = self.predictor.predict(batch, max_tile=self.max_tile)
         out = io.BytesIO()
         np.savez(out, depth=np.asarray(depth, np.float32))
         return out.getvalue()
+
+    # ---- cross-request micro-batching (--batch-window-ms) ----
+
+    def _predict_coalesced(self, batch) -> np.ndarray:
+        key = tuple(sorted((k, v.shape[1:], str(v.dtype))
+                           for k, v in batch.items()))
+        p = _Pending(batch, key)
+        with self._qcv:
+            self._queue.append(p)
+            self._qcv.notify()
+        p.event.wait()
+        if p.error is not None:
+            raise p.error
+        return p.result
+
+    def _dispatch_loop(self):
+        import time
+
+        while True:
+            with self._qcv:
+                while not self._queue and not self._stop:
+                    self._qcv.wait()
+                if self._stop:
+                    return
+            # window: let concurrent requests land before dispatching
+            time.sleep(self.batch_window_ms / 1000.0)
+            with self._qcv:
+                # coalesce the oldest request's shape group, up to max_tile
+                key = self._queue[0].key
+                group, rest, total = [], [], 0
+                for p in self._queue:
+                    if p.key == key and total + p.n <= self.max_tile:
+                        group.append(p)
+                        total += p.n
+                    else:
+                        rest.append(p)
+                self._queue = rest
+            try:
+                if len(group) == 1:
+                    merged = group[0].batch
+                else:
+                    keys = group[0].batch.keys()
+                    merged = {k: np.concatenate(
+                        [np.asarray(p.batch[k]) for p in group])
+                        for k in keys}
+                with self._lock:
+                    self.dispatch_count += 1
+                    depth = np.asarray(self.predictor.predict(
+                        merged, max_tile=self.max_tile))
+                ofs = 0
+                for p in group:
+                    p.result = depth[ofs:ofs + p.n]
+                    ofs += p.n
+            except Exception as e:  # noqa: BLE001 — delivered per request
+                for p in group:
+                    p.error = e
+            finally:
+                for p in group:
+                    p.event.set()
+
+    def close(self):
+        with self._qcv:
+            self._stop = True
+            self._qcv.notify_all()
+        if self._dispatcher is not None:
+            self._dispatcher.join(timeout=5)
 
     def handler(self):
         server = self
@@ -124,6 +228,10 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--port", type=int, default=8712)
     p.add_argument("--max-tile", type=int, default=128,
                    help="device batch tile (pow2; see NOTES.md batch cliff)")
+    p.add_argument("--batch-window-ms", type=float, default=0.0,
+                   help="coalesce concurrent requests arriving within this "
+                        "window into one device batch (0 = serialized "
+                        "single-flight; VERDICT r3 #8)")
     p.add_argument("--spatial", type=int, default=1,
                    help="serve over a (data, space) mesh — image height "
                         "sharded over this many devices (ultra-high-res)")
@@ -133,7 +241,8 @@ def main(argv: Optional[list] = None) -> int:
 
     overrides = {"spatial": args.spatial} if args.spatial > 1 else {}
     predictor = Predictor.from_run(args.run, **overrides)
-    srv = DepthServer(predictor, max_tile=args.max_tile)
+    srv = DepthServer(predictor, max_tile=args.max_tile,
+                      batch_window_ms=args.batch_window_ms)
     print(f"serving {args.run} on http://{args.host}:{args.port} "
           f"(arch={predictor.cfg.model.arch}, "
           f"{predictor.cfg.data.height}x{predictor.cfg.data.width}, "

@@ -43,16 +43,32 @@ def main() -> int:
                         "(shadow crush, motion blur, heavy noise) — the "
                         "condition under which radar refinement should pay "
                         "(NOTES.md night-split row); 0 = the mild r3 model")
+    p.add_argument("--night-frac", type=float, default=None,
+                   help="fraction of night scenes (default: SceneConfig's "
+                        "0.25); applies to both splits unless overridden")
+    p.add_argument("--val-night-frac", type=float, default=None,
+                   help="override night fraction for the VAL split only — "
+                        "lets ablations keep the r3 train distribution "
+                        "(0.25) while powering the night split (VERDICT r3 "
+                        "#2 asks n_night >= 64, i.e. num-val 128 at 0.5)")
     args = p.parse_args()
 
     from radar_depth_tpu.data.synthetic import SceneConfig
 
-    scene = SceneConfig(night_severity=args.night_severity)
+    def make_scene(split: str) -> SceneConfig:
+        kw = {"night_severity": args.night_severity}
+        nf = args.night_frac
+        if split == "val" and args.val_night_frac is not None:
+            nf = args.val_night_frac
+        if nf is not None:
+            kw["night_frac"] = nf
+        return SceneConfig(**kw)
+
     spec = SampleSpec(height=args.height, width=args.width,
                       num_sweeps=args.sweeps)
     for split, n, seed in (("train", args.num_train, args.seed),
                            ("val", args.num_val, args.seed + 1)):
-        ds = SyntheticNuScenes(n, spec=spec, seed=seed, scene=scene)
+        ds = SyntheticNuScenes(n, spec=spec, seed=seed, scene=make_scene(split))
         out_dir = os.path.join(args.out, split)
         t0 = time.time()
         paths = write_shards(out_dir, (ds[i] for i in range(n)),

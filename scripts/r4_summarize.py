@@ -1,0 +1,74 @@
+"""Aggregate the r4 queue's eval outputs into the error-bar tables
+(VERDICT r3 #2): per-(severity, seed) coarse-vs-refined metrics with the
+night-RMSE delta, plus mean±spread across seeds.
+
+Usage: python scripts/r4_summarize.py [--dir results/r4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+
+
+def last_json(path: str):
+    if not os.path.isfile(path):
+        return None
+    out = None
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    out = json.loads(line)
+                except json.JSONDecodeError:
+                    pass
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", default="results/r4")
+    args = ap.parse_args()
+
+    pat = re.compile(r"^(s\d|ns\d+)_?(?:sd(\d+))?_eval_(all|night|day)\.txt$")
+    table: dict = {}
+    for fn in sorted(os.listdir(args.dir)):
+        m = pat.match(fn)
+        if not m:
+            continue
+        tag, seed, split = m.group(1), m.group(2) or "-", m.group(3)
+        d = last_json(os.path.join(args.dir, fn))
+        if d is None:
+            continue
+        table.setdefault((tag, seed), {})[split] = d
+
+    print(f"{'chain':14s} {'split':6s} {'coarse':>8s} {'refined':>8s} "
+          f"{'Δrmse%':>8s}  (rmse; negative = refined wins)")
+    deltas: dict = {}
+    for (tag, seed), splits in sorted(table.items()):
+        for split in ("all", "night", "day"):
+            if split not in splits:
+                continue
+            c = splits[split]["coarse"]["rmse"]
+            r = splits[split]["refined"]["rmse"]
+            dl = 100 * (r - c) / c
+            print(f"{tag + '/sd' + seed:14s} {split:6s} {c:8.4f} {r:8.4f} "
+                  f"{dl:+8.2f}")
+            deltas.setdefault((tag, split), []).append(dl)
+
+    print("\nmean ± half-spread of Δrmse% across seeds:")
+    for (tag, split), ds in sorted(deltas.items()):
+        if len(ds) < 2:
+            continue
+        mean = sum(ds) / len(ds)
+        half = (max(ds) - min(ds)) / 2
+        print(f"  {tag:8s} {split:6s} {mean:+.2f}% ± {half:.2f}%  (n={len(ds)})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

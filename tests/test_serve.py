@@ -19,21 +19,29 @@ from radar_depth_tpu.config import (
 pytestmark = pytest.mark.slow
 
 
-def test_serve_round_trip(tmp_path):
-    from radar_depth_tpu.data.synthetic import SyntheticNuScenes
-    from radar_depth_tpu.inference import Predictor
-    from radar_depth_tpu.serve import DepthServer
+@pytest.fixture(scope="module")
+def tiny_run(tmp_path_factory):
+    """One tiny trained run shared by the serving tests."""
     from radar_depth_tpu.train.loop import Trainer
 
+    out = tmp_path_factory.mktemp("serve_run")
     cfg = TrainConfig(
         data=DataConfig(height=64, width=96, num_sweeps=2, num_train=16,
                         num_val=8),
         model=ModelConfig(arch="resnet18", modality="rgbd", decoder="deconv2"),
         optim=OptimConfig(), augment=AugmentConfig(), batch_size=8,
-        epochs=1, output_dir=str(tmp_path), print_freq=100)
+        epochs=1, output_dir=str(out), print_freq=100)
     Trainer(cfg).fit()
+    return cfg, str(out)
 
-    predictor = Predictor.from_run(str(tmp_path))
+
+def test_serve_round_trip(tiny_run):
+    from radar_depth_tpu.data.synthetic import SyntheticNuScenes
+    from radar_depth_tpu.inference import Predictor
+    from radar_depth_tpu.serve import DepthServer
+
+    cfg, run_dir = tiny_run
+    predictor = Predictor.from_run(run_dir)
     srv = DepthServer(predictor, max_tile=8)
     srv.warmup()
     httpd = srv.serve("127.0.0.1", 0)  # ephemeral port
@@ -78,3 +86,58 @@ def test_serve_round_trip(tmp_path):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_serve_coalesces_concurrent_requests(tiny_run):
+    """--batch-window-ms: N concurrent single-sample requests ride ONE
+    device dispatch (grouped by shape up to max_tile) and each client gets
+    exactly its own depth map back (VERDICT r3 #8)."""
+    from radar_depth_tpu.data.synthetic import SyntheticNuScenes
+    from radar_depth_tpu.inference import Predictor
+    from radar_depth_tpu.serve import DepthServer
+
+    cfg, run_dir = tiny_run
+    predictor = Predictor.from_run(run_dir)
+    srv = DepthServer(predictor, max_tile=8, batch_window_ms=200.0)
+    srv.warmup()
+    httpd = srv.serve("127.0.0.1", 0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+
+    ds = SyntheticNuScenes(6, spec=cfg.data.sample_spec(), seed=11)
+    bodies = []
+    for i in range(4):
+        buf = io.BytesIO()
+        np.savez(buf, **ds.batch([i]))
+        bodies.append(buf.getvalue())
+
+    results: dict = {}
+
+    def post(i):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=bodies[i],
+            method="POST")
+        with urllib.request.urlopen(req) as r:
+            results[i] = np.load(io.BytesIO(r.read()))["depth"]
+
+    try:
+        base = srv.dispatch_count
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert len(results) == 4
+        # all four requests landed within the 200 ms window -> one dispatch
+        # (allow 2 in case a straggler thread missed the first window)
+        assert srv.dispatch_count - base <= 2, srv.dispatch_count - base
+        # each client got ITS sample's prediction (not a neighbor's)
+        expect = predictor.predict(ds.batch(range(4)), max_tile=8)
+        for i in range(4):
+            assert results[i].shape == (1, 64, 96)
+            np.testing.assert_allclose(results[i][0], expect[i],
+                                       rtol=1e-5, atol=1e-5)
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        srv.close()
