@@ -163,3 +163,33 @@ def test_night_severity_destroys_information():
     assert corrs[0] > 0.99  # s=0 is the same render
     assert corrs[1] > corrs[2]  # information loss grows with severity
     assert corrs[2] < 0.8  # severity 1 is a materially different image
+
+
+def test_generate_dataset_val_night_frac(tmp_path):
+    """generate_dataset.py --val-night-frac: the VAL split's night fraction
+    is overridden (powers the night eval split, VERDICT r3 #2) while train
+    keeps the default distribution; tags sidecars record the attribute."""
+    import json
+    import subprocess
+    import sys
+    import glob
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = tmp_path / "ds"
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts/generate_dataset.py"),
+         "--out", str(out), "--num-train", "8", "--num-val", "24",
+         "--height", "64", "--width", "96", "--sweeps", "2", "--seed", "0",
+         "--night-frac", "0.0", "--val-night-frac", "1.0"],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    tags = {}
+    for split in ("train", "val"):
+        tags[split] = []
+        for p in sorted(glob.glob(str(out / split / "*.tags.json"))):
+            with open(p) as f:
+                tags[split] += json.load(f)
+    assert len(tags["train"]) == 8 and len(tags["val"]) == 24
+    assert all(t == "day" for t in tags["train"])  # --night-frac 0.0
+    assert all(t == "night" for t in tags["val"])  # --val-night-frac 1.0
