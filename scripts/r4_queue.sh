@@ -18,6 +18,10 @@ set -u
 cd /root/repo
 mkdir -p results/r4 runs data
 R=results/r4
+# Optional phase selection: `r4_queue.sh BCD` runs only phases B, C, D
+# (e.g. when Phase A's evals are already committed in results/r4/).
+PHASES=${1:-ABCD}
+want () { case "$PHASES" in *$1*) return 0;; *) return 1;; esac; }
 
 gen () { # gen <out> <args...>
   local out=$1; shift
@@ -48,6 +52,7 @@ ev () { # ev <outfile> <args...>
 }
 
 # ---------- Phase A: full-res crossing confirmation (VERDICT #1) ----------
+if want A; then
 gen data/synth_ns10 --num-train 512 --num-val 128 --height 450 --width 800 \
     --sweeps 5 --seed 0 --night-severity 1.0 --val-night-frac 0.5
 run ns10_lf 14400 --arch resnet18_latefusion --decoder upproj \
@@ -63,8 +68,10 @@ ev ns10_eval_all.txt   --run runs/ns10_s2c --data-root data/synth_ns10
 ev ns10_eval_night.txt --run runs/ns10_s2c --data-root data/synth_ns10 --split night
 ev ns10_eval_day.txt   --run runs/ns10_s2c --data-root data/synth_ns10 --split day
 echo "PHASE_A_DONE $(date +%H:%M:%S)"
+fi
 
 # ---------- Phase B: seed x severity error bars at 96x160 (VERDICT #2) ----
+if want B; then
 for sev in 0.0 1.0; do
   sv=${sev%%.*}
   gen data/synth_s${sv}_small --num-train 256 --num-val 128 --height 96 \
@@ -91,8 +98,10 @@ for sev in 0.0 1.0; do
   done
 done
 echo "PHASE_B_DONE $(date +%H:%M:%S)"
+fi
 
 # ---------- Phase C: sev-0.5 midpoint (VERDICT #3b) -----------------------
+if want C; then
 gen data/synth_ns05_small --num-train 256 --num-val 128 --height 96 \
     --width 160 --sweeps 3 --seed 0 --night-severity 0.5 --val-night-frac 0.5
 run ns05_lf 7200 --arch resnet18_latefusion --decoder upproj \
@@ -111,8 +120,10 @@ for sp in "" night day; do
      --data-root data/synth_ns05_small ${sp:+--split $sp}
 done
 echo "PHASE_C_DONE $(date +%H:%M:%S)"
+fi
 
 # ---------- Phase D: matched-UPDATE grad-accum control (VERDICT #3a) ------
+if want D; then
 # Both arms on the SAME fresh shards: standard B=32 20ep (160 updates on a
 # 256-sample split at 8 steps/ep) vs accum 4xB=32 80ep (2 updates/ep x 80 =
 # 160 updates), lr 0.02 decay@32 per the r3 recipe.
@@ -130,4 +141,5 @@ grep -h "best" runs/std_b32/best.txt runs/std_ga4/best.txt \
     > "$R/ga4_control.txt" 2>&1 || true
 cat runs/std_b32/best.txt runs/std_ga4/best.txt >> "$R/ga4_control.txt" 2>/dev/null
 echo "PHASE_D_DONE $(date +%H:%M:%S)"
+fi
 echo QUEUE_DONE
