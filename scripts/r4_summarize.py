@@ -46,27 +46,36 @@ def main() -> int:
             continue
         table.setdefault((tag, seed), {})[split] = d
 
-    print(f"{'chain':14s} {'split':6s} {'coarse':>8s} {'refined':>8s} "
-          f"{'Δrmse%':>8s}  (rmse; negative = refined wins)")
+    metrics = ("rmse", "mae", "absrel")
+    hdr = " ".join(f"{'Δ' + m + '%':>9s}" for m in metrics)
+    print(f"{'chain':14s} {'split':6s} {'c_rmse':>8s} {'r_rmse':>8s} {hdr}"
+          f"  (negative = refined wins)")
     deltas: dict = {}
     for (tag, seed), splits in sorted(table.items()):
         for split in ("all", "night", "day"):
             if split not in splits:
                 continue
-            c = splits[split]["coarse"]["rmse"]
-            r = splits[split]["refined"]["rmse"]
-            dl = 100 * (r - c) / c
-            print(f"{tag + '/sd' + seed:14s} {split:6s} {c:8.4f} {r:8.4f} "
-                  f"{dl:+8.2f}")
-            deltas.setdefault((tag, split), []).append(dl)
+            row = []
+            for m in metrics:
+                c = splits[split]["coarse"][m]
+                r = splits[split]["refined"][m]
+                dl = 100 * (r - c) / c
+                row.append(dl)
+                deltas.setdefault((tag, split, m), []).append(dl)
+            c0 = splits[split]["coarse"]["rmse"]
+            r0 = splits[split]["refined"]["rmse"]
+            cells = " ".join(f"{d:+9.2f}" for d in row)
+            print(f"{tag + '/sd' + seed:14s} {split:6s} {c0:8.4f} {r0:8.4f} "
+                  f"{cells}")
 
-    print("\nmean ± half-spread of Δrmse% across seeds:")
-    for (tag, split), ds in sorted(deltas.items()):
+    print("\nmean ± half-spread of Δ% across seeds (refined vs coarse):")
+    for (tag, split, m), ds in sorted(deltas.items()):
         if len(ds) < 2:
             continue
         mean = sum(ds) / len(ds)
         half = (max(ds) - min(ds)) / 2
-        print(f"  {tag:8s} {split:6s} {mean:+.2f}% ± {half:.2f}%  (n={len(ds)})")
+        print(f"  {tag:8s} {split:6s} {m:7s} {mean:+.2f}% ± {half:.2f}%  "
+              f"(n={len(ds)})")
     return 0
 
 
