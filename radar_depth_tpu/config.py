@@ -134,6 +134,13 @@ class TrainConfig:
     # beats a silent hang. Must exceed the longest single blocking call
     # (full-res remote compiles: 5-10 min). 0 disables.
     stall_timeout: float = 3600.0
+    # Checkpoint cadence: save every k-th epoch (plus every best-RMSE
+    # improvement and always the final epoch). The per-epoch device→host
+    # state fetch dominates epoch wall time on the bench relay (measured
+    # 23-28s vs 9s train at 96×160 — NOTES.md r4), so k>1 trades restart
+    # granularity for throughput. k=1 (default) is the reference's
+    # save-every-epoch behavior (upstream:utils.py::save_checkpoint).
+    ckpt_every: int = 1
     # Spatial partitioning (SURVEY.md §5 "spatial partitioning of convs would
     # be the analogue" — built, not just documented): shard image HEIGHT over
     # a 'space' mesh axis of this size; batch shards over the remaining
@@ -286,6 +293,11 @@ def parse_command(argv=None) -> TrainConfig:
                    help="exit 86 (resumable crash) if no batch completes "
                         "for this many seconds — wedged-backend protection; "
                         "0 disables")
+    p.add_argument("--ckpt-every", type=int, default=1,
+                   help="save a checkpoint every k-th epoch (best-RMSE "
+                        "improvements and the final epoch always save); "
+                        "k>1 skips the per-epoch device→host state fetch "
+                        "that dominates epoch wall time on slow links")
     p.add_argument("--spatial", type=int, default=1,
                    help="shard image height over a 'space' mesh axis of this "
                         "size (spatial conv partitioning for ultra-high-res; "
@@ -391,5 +403,6 @@ def parse_command(argv=None) -> TrainConfig:
         print_freq=a.print_freq, tensorboard=a.tensorboard,
         metric_avg=a.metric_avg, eval_splits=a.eval_splits,
         spatial=a.spatial, stall_timeout=a.stall_timeout,
+        ckpt_every=a.ckpt_every,
         platform=a.platform,
     )

@@ -41,6 +41,18 @@ from radar_depth_tpu.utils.csvlog import EpochCSVLogger, write_best_txt
 from radar_depth_tpu.utils.viz import add_row, comparison_panel, save_image
 
 
+def should_checkpoint(epoch: int, improved: bool, every: int,
+                      total_epochs: int) -> bool:
+    """Checkpoint cadence for --ckpt-every: best-RMSE improvements and the
+    final epoch always save (best-N retention and end-of-run state must not
+    depend on the cadence); otherwise save every `every`-th epoch, anchored
+    so the final epoch is on-cadence. every<=1 is save-every-epoch
+    (reference behavior, upstream:utils.py::save_checkpoint)."""
+    if improved or epoch == total_epochs - 1 or every <= 1:
+        return True
+    return (total_epochs - 1 - epoch) % every == 0
+
+
 def make_datasets(cfg: TrainConfig):
     if cfg.data.dataset == "synthetic":
         spec = cfg.data.sample_spec()
@@ -543,10 +555,13 @@ class Trainer:
                            context=f"training {cfg.output_dir}") as wd:
             self._watchdog = wd
             for epoch in range(self.start_epoch, cfg.epochs):
+                _w0 = time.perf_counter()
                 train_m = self.train_epoch(epoch)
                 self.train_log.append(epoch, train_m)
+                _w1 = time.perf_counter()
                 val_m = self.validate(epoch)
                 self.val_log.append(epoch, val_m)
+                _w2 = time.perf_counter()
                 if self.tboard is not None:
                     self.tboard.log("train", epoch, train_m)
                     self.tboard.log("val", epoch, val_m)
@@ -556,13 +571,25 @@ class Trainer:
                 # mid-save must never leave best.txt lagging a completed
                 # epoch's metrics (VERDICT r3 weak — runs/ns10_s2c died with
                 # best.txt stale at epoch 2 while the log showed epoch 6).
-                if val_m["rmse"] < self.best_rmse:
+                improved = val_m["rmse"] < self.best_rmse
+                if improved:
                     self.best_rmse = val_m["rmse"]
                     write_best_txt(os.path.join(cfg.output_dir, "best.txt"),
                                    epoch, val_m)
-                self.ckpt.save(epoch,
-                               jax.tree_util.tree_map(np.asarray, self.state),
-                               val_m)
+                if should_checkpoint(epoch, improved, cfg.ckpt_every,
+                                     cfg.epochs):
+                    self.ckpt.save(epoch,
+                                   jax.tree_util.tree_map(np.asarray,
+                                                          self.state),
+                                   val_m)
+                _w3 = time.perf_counter()
+                # Per-epoch wall breakdown: on the bench relay the epoch-end
+                # state fetch for checkpointing can rival the step loop
+                # (measured 23-28s ckpt vs 9s train at 96×160 — hence
+                # --ckpt-every); keep the split visible so regressions are
+                # attributable.
+                print(f"epoch {epoch} walls: train={_w1 - _w0:.1f}s "
+                      f"val={_w2 - _w1:.1f}s ckpt={_w3 - _w2:.1f}s")
         self._watchdog = None
         self.close()
 

@@ -57,7 +57,14 @@ def main() -> int:
                         "CSVs / reference AverageMeter")
     p.add_argument("--split", default="",
                    help="restrict to one tag from the val tags sidecar "
-                        "(e.g. day / night)")
+                        "(e.g. day / night); comma-separated tags evaluate "
+                        "each split IN ONE PROCESS (the jitted graphs "
+                        "compile once — on the bench relay a compile costs "
+                        "minutes, so 'all,night,day' is ~3x faster than "
+                        "three invocations); 'all' means the whole set")
+    p.add_argument("--out-prefix", default="",
+                   help="with multiple --split tags: also write each "
+                        "split's report to <out-prefix><split>.txt")
     p.add_argument("--platform", default="default", choices=["default", "cpu"],
                    help="force the jax backend; 'cpu' evaluates off-TPU "
                         "(the axon plugin ignores JAX_PLATFORMS)")
@@ -164,78 +171,104 @@ def main() -> int:
         return coarse, refined, target, radar, eff
 
     ds = PackedDataset(os.path.join(args.data_root, "val"))
-    if args.split:
-        # Restrict to one day/night split (tags sidecar). This is the
-        # direct test of the paper's premise: radar should matter most
-        # where the image is degraded, so coarse-vs-refined ON NIGHT
-        # frames is the sharpest ablation row. Ragged tails are padded by
-        # repeating the last sample with a zeroed target (pad_batch_to),
-        # which the masked metrics skip; the filter-efficacy counts skip
-        # padding too (has_gt needs target > 0). `radar_px` alone counts
-        # padded returns — cosmetic.
-        indices = [i for i in range(len(ds)) if ds.sample_tag(i) == args.split]
-        if not indices:
-            print(f"no samples tagged {args.split!r}")
-            return 1
-    else:
-        indices = list(range(len(ds)))
     from radar_depth_tpu.parallel.mesh import pad_batch_to
 
-    n = len(indices)
-    sums = {"coarse": None, "refined": None,
-            "coarse_radar_local": None, "refined_radar_local": None}
+    def eval_split(split: str) -> tuple:
+        """One split's full report. Returns (lines, ok); reuses the jitted
+        infer_both across calls — shapes are identical, so multi-split runs
+        compile exactly once."""
+        if split and split != "all":
+            # Restrict to one day/night split (tags sidecar). This is the
+            # direct test of the paper's premise: radar should matter most
+            # where the image is degraded, so coarse-vs-refined ON NIGHT
+            # frames is the sharpest ablation row. Ragged tails are padded
+            # by repeating the last sample with a zeroed target
+            # (pad_batch_to), which the masked metrics skip; the
+            # filter-efficacy counts skip padding too (has_gt needs
+            # target > 0). `radar_px` alone counts padded returns —
+            # cosmetic.
+            indices = [i for i in range(len(ds))
+                       if ds.sample_tag(i) == split]
+            if not indices:
+                return ([f"no samples tagged {split!r}"], False)
+        else:
+            indices = list(range(len(ds)))
 
-    def acc(key, s):
-        sums[key] = s if sums[key] is None else jax.tree_util.tree_map(
-            lambda a, b: a + b, sums[key], s)
+        n = len(indices)
+        sums = {"coarse": None, "refined": None,
+                "coarse_radar_local": None, "refined_radar_local": None}
 
-    r = args.radius
-    eff_tot = None
-    for i0 in range(0, n, args.batch):
-        chunk = indices[i0:i0 + args.batch]
-        batch, _ = pad_batch_to(ds.batch(chunk), args.batch)
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        coarse, refined, target, radar, eff = infer_both(
-            pred.params, pred.batch_stats, batch)
-        eff_tot = eff if eff_tot is None else jax.tree_util.tree_map(
-            lambda a, b: a + b, eff_tot, eff)
-        # radar-local mask: dilate the radar-return pixels by `radius`
-        # (max-pool with a (2r+1)^2 window)
-        occ = (radar > 0).astype(jnp.float32)
-        local = jax.lax.reduce_window(
-            occ, 0.0, jax.lax.max, (1, 2 * r + 1, 2 * r + 1, 1),
-            (1, 1, 1, 1), "SAME") > 0
-        t_local = jnp.where(local, target, 0.0)  # masked metrics skip zeros
-        acc("coarse", compute_metric_sums(coarse, target, args.metric_avg))
-        acc("refined", compute_metric_sums(refined, target, args.metric_avg))
-        acc("coarse_radar_local", compute_metric_sums(coarse, t_local, args.metric_avg))
-        acc("refined_radar_local",
-            compute_metric_sums(refined, t_local, args.metric_avg))
+        def acc(key, s):
+            sums[key] = s if sums[key] is None else jax.tree_util.tree_map(
+                lambda a, b: a + b, sums[key], s)
 
-    out = {k: finalize_metrics(jax.tree_util.tree_map(np.asarray, v))
-           for k, v in sums.items()}
-    print(f"run={args.run} filter={args.filter_mode} "
-          f"(abs={args.abs_threshold}, rel={args.rel_threshold}) "
-          f"val n={n}" + (f" split={args.split}" if args.split else ""))
-    keys = ["rmse", "mae", "absrel", "delta1"]
-    print(f"{'output':24s} " + " ".join(f"{k:>8s}" for k in keys))
-    for name in ("coarse", "refined", "coarse_radar_local",
-                 "refined_radar_local"):
-        row = out[name]
-        print(f"{name:24s} " + " ".join(f"{row[k]:8.4f}" for k in keys))
-    e = {k: int(v) for k, v in jax.tree_util.tree_map(np.asarray,
-                                                      eff_tot).items()}
-    drop_c = 1 - e["corrupt_kept"] / max(e["corrupt_px"], 1)
-    drop_k = 1 - e["clean_kept"] / max(e["clean_px"], 1)
-    print(f"filter efficacy (GT-checkable radar px {e['gt_px']} of "
-          f"{e['radar_px']}): corrupt {e['corrupt_px']} px, "
-          f"{drop_c:.1%} dropped; clean {e['clean_px']} px, "
-          f"{drop_k:.1%} dropped (false positives)")
-    out["filter_efficacy"] = e
-    print(json.dumps({k: ({m: round(float(v[m]), 5) for m in keys}
-                          if k != "filter_efficacy" else v)
-                      for k, v in out.items()}))
-    return 0
+        r = args.radius
+        eff_tot = None
+        for i0 in range(0, n, args.batch):
+            chunk = indices[i0:i0 + args.batch]
+            batch, _ = pad_batch_to(ds.batch(chunk), args.batch)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            coarse, refined, target, radar, eff = infer_both(
+                pred.params, pred.batch_stats, batch)
+            eff_tot = eff if eff_tot is None else jax.tree_util.tree_map(
+                lambda a, b: a + b, eff_tot, eff)
+            # radar-local mask: dilate the radar-return pixels by `radius`
+            # (max-pool with a (2r+1)^2 window)
+            occ = (radar > 0).astype(jnp.float32)
+            local = jax.lax.reduce_window(
+                occ, 0.0, jax.lax.max, (1, 2 * r + 1, 2 * r + 1, 1),
+                (1, 1, 1, 1), "SAME") > 0
+            t_local = jnp.where(local, target, 0.0)  # masked metrics skip 0s
+            acc("coarse", compute_metric_sums(coarse, target, args.metric_avg))
+            acc("refined",
+                compute_metric_sums(refined, target, args.metric_avg))
+            acc("coarse_radar_local",
+                compute_metric_sums(coarse, t_local, args.metric_avg))
+            acc("refined_radar_local",
+                compute_metric_sums(refined, t_local, args.metric_avg))
+
+        out = {k: finalize_metrics(jax.tree_util.tree_map(np.asarray, v))
+               for k, v in sums.items()}
+        lines = [f"run={args.run} filter={args.filter_mode} "
+                 f"(abs={args.abs_threshold}, rel={args.rel_threshold}) "
+                 f"val n={n}" + (f" split={split}" if split else "")]
+        keys = ["rmse", "mae", "absrel", "delta1"]
+        lines.append(f"{'output':24s} " + " ".join(f"{k:>8s}" for k in keys))
+        for name in ("coarse", "refined", "coarse_radar_local",
+                     "refined_radar_local"):
+            row = out[name]
+            lines.append(f"{name:24s} "
+                         + " ".join(f"{row[k]:8.4f}" for k in keys))
+        e = {k: int(v) for k, v in jax.tree_util.tree_map(np.asarray,
+                                                          eff_tot).items()}
+        drop_c = 1 - e["corrupt_kept"] / max(e["corrupt_px"], 1)
+        drop_k = 1 - e["clean_kept"] / max(e["clean_px"], 1)
+        lines.append(
+            f"filter efficacy (GT-checkable radar px {e['gt_px']} of "
+            f"{e['radar_px']}): corrupt {e['corrupt_px']} px, "
+            f"{drop_c:.1%} dropped; clean {e['clean_px']} px, "
+            f"{drop_k:.1%} dropped (false positives)")
+        out["filter_efficacy"] = e
+        lines.append(json.dumps({k: ({m: round(float(v[m]), 5) for m in keys}
+                                     if k != "filter_efficacy" else v)
+                                 for k, v in out.items()}))
+        return (lines, True)
+
+    splits = ([s.strip() for s in args.split.split(",") if s.strip()]
+              if args.split else [""])
+    ok = True
+    for split in splits:
+        lines, good = eval_split(split)
+        ok = ok and good
+        text = "\n".join(lines) + "\n"
+        sys.stdout.write(text)
+        sys.stdout.flush()
+        if args.out_prefix and good:
+            tag = split or "all"
+            path = f"{args.out_prefix}{tag}.txt"
+            with open(path, "w") as f:
+                f.write(text)
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

@@ -290,6 +290,26 @@ def test_checkpoint_keeps_latest_and_best(tmp_path):
     mgr.close()
 
 
+def test_ckpt_every_cadence():
+    """--ckpt-every k: improvements and the final epoch always save; the
+    periodic cadence is anchored on the final epoch so a completed run's
+    last checkpoint is never an off-cadence orphan. k=1 saves every epoch
+    (reference behavior). The per-epoch state fetch dominated epoch wall
+    time on the bench relay (23-28s vs 9s train — NOTES.md r4)."""
+    from radar_depth_tpu.train.loop import should_checkpoint
+
+    # k=1: always
+    assert all(should_checkpoint(e, False, 1, 10) for e in range(10))
+    # k=4, 10 epochs, no improvements: anchored on epoch 9 -> {1, 5, 9}
+    saved = [e for e in range(10) if should_checkpoint(e, False, 4, 10)]
+    assert saved == [1, 5, 9]
+    # improvements force a save regardless of cadence
+    assert should_checkpoint(2, True, 4, 10)
+    # final epoch always saves even with k > total
+    assert should_checkpoint(9, False, 100, 10)
+    assert not should_checkpoint(8, False, 100, 10)
+
+
 def test_warm_start_init_from(tmp_path):
     """--init-from grafts a same-arch run's best params with a FRESH
     optimizer/epoch (vs --resume); mismatched arch trees are rejected."""
