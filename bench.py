@@ -73,6 +73,10 @@ def main():
                         "keep this small)")
     args = p.parse_args()
 
+    from radar_depth_tpu.utils.compcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from radar_depth_tpu.data.schema import SampleSpec
     from radar_depth_tpu.data.synthetic import SyntheticNuScenes
     from radar_depth_tpu.models import create_model

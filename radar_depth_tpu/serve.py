@@ -237,6 +237,10 @@ def main(argv: Optional[list] = None) -> int:
                         "sharded over this many devices (ultra-high-res)")
     args = p.parse_args(argv)
 
+    from radar_depth_tpu.utils.compcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from radar_depth_tpu.inference import Predictor
 
     overrides = {"spatial": args.spatial} if args.spatial > 1 else {}

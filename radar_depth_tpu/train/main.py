@@ -21,6 +21,9 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    from radar_depth_tpu.utils.compcache import enable_persistent_cache
+
+    enable_persistent_cache()
     trainer = Trainer(cfg)
     if cfg.evaluate:
         trainer.load_for_evaluate()

@@ -60,6 +60,10 @@ def main():
                         "weight-independent)")
     args = p.parse_args()
 
+    from radar_depth_tpu.utils.compcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from radar_depth_tpu.config import DataConfig, ModelConfig, TrainConfig
     from radar_depth_tpu.data.synthetic import SyntheticNuScenes
     from radar_depth_tpu.inference import Predictor

@@ -76,6 +76,10 @@ def main() -> int:
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
+    from radar_depth_tpu.utils.compcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from radar_depth_tpu.config import DataConfig, ModelConfig, TrainConfig
     from radar_depth_tpu.data.packed import PackedDataset
     from radar_depth_tpu.inference import Predictor

@@ -59,6 +59,10 @@ run () { # run <tag> <epochs> <timeout_s> <args...>
 }
 
 evm () { # evm <prefix> <rundir> <dataroot> — all/night/day in one process
+  if [ -s "$R/${1}_eval_all.txt" ] && [ -s "$R/${1}_eval_night.txt" ] && \
+     [ -s "$R/${1}_eval_day.txt" ]; then
+    echo "[eval] ${1} outputs exist, skipping"; return 0
+  fi
   echo "[eval] ${1} (all,night,day) $(date +%H:%M:%S)"
   timeout 3600 python scripts/eval_two_stage.py --run "$2" --data-root "$3" \
       --split all,night,day --out-prefix "$R/${1}_eval_" \

@@ -292,6 +292,10 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
+    from radar_depth_tpu.utils.compcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     report = run_parity(args.height, args.width, args.num_samples, args.batch,
                         args.sweeps, args.decoder, args.depth, args.run)
     print(json.dumps(report, indent=2))

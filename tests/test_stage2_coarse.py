@@ -163,7 +163,11 @@ def test_eval_two_stage_adopts_run_config(tmp_path, capsys):
         d = tmp_path / "data" / split
         d.mkdir(parents=True)
         ds = SyntheticNuScenes(n, spec=spec, seed=seed)
-        packed.write_shard(str(d / "data.rdtp"), [ds[i] for i in range(n)])
+        # day/night tags on val: exercised below by --split night
+        tags = ["night" if i % 2 else "day" for i in range(n)] \
+            if split == "val" else None
+        packed.write_shard(str(d / "data.rdtp"),
+                           [ds[i] for i in range(n)], tags=tags)
 
     cfg = TrainConfig(
         data=data,
@@ -188,3 +192,31 @@ def test_eval_two_stage_adopts_run_config(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "filter=rel" in out  # adopted from config.json, not the default
     assert "refined" in out and "coarse" in out
+
+    # Multi-split in ONE process: comma-separated --split evaluates each
+    # tag reusing the already-jitted graphs; --out-prefix mirrors each
+    # split's report to a file (how the r4 queue records tracked evidence).
+    prefix = str(tmp_path / "ev_")
+    sys.argv = ["eval_two_stage.py", "--run", str(tmp_path / "run"),
+                "--data-root", str(tmp_path / "data"), "--batch", "8",
+                "--split", "all,night,day", "--out-prefix", prefix]
+    try:
+        assert mod.main() == 0
+    finally:
+        sys.argv = old_argv
+    out = capsys.readouterr().out
+    assert "val n=8 split=all" in out    # 'all' = whole set
+    assert "val n=4 split=night" in out  # tags sidecar filtering
+    assert "val n=4 split=day" in out
+    for tag in ("all", "night", "day"):
+        with open(f"{prefix}{tag}.txt") as f:
+            assert f"split={tag}" in f.read()
+    # an unknown tag fails loudly (nonzero exit), not silently
+    sys.argv = ["eval_two_stage.py", "--run", str(tmp_path / "run"),
+                "--data-root", str(tmp_path / "data"), "--batch", "8",
+                "--split", "dusk"]
+    try:
+        assert mod.main() == 1
+    finally:
+        sys.argv = old_argv
+    capsys.readouterr()

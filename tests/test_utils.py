@@ -99,3 +99,33 @@ def test_model_summary_params():
     nm, sm = summarize_params_only("resnet18_multistage", 64, 96, "deconv2")
     assert 0 < n1 < n2 < nm
     assert nm == 2 * n2 and sm == 2 * s2  # two identical late-fusion stages
+
+
+def test_persistent_cache_config(tmp_path, monkeypatch):
+    """enable_persistent_cache points jax at a durable dir (creating it),
+    honors RDTP_XLA_CACHE_DIR, and its off-switch disables caching without
+    touching jax config. Restores conftest's isolated cache dir afterwards
+    so later compiles in this process stay sandboxed."""
+    import jax
+
+    from radar_depth_tpu.utils.compcache import enable_persistent_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        target = tmp_path / "xla_cache"
+        assert enable_persistent_cache(str(target)) == str(target)
+        assert target.is_dir()
+        assert jax.config.jax_compilation_cache_dir == str(target)
+
+        env_dir = tmp_path / "env_cache"
+        monkeypatch.setenv("RDTP_XLA_CACHE_DIR", str(env_dir))
+        assert enable_persistent_cache() == str(env_dir)
+        assert env_dir.is_dir()
+
+        # off-switch: no-op, config untouched
+        monkeypatch.setenv("RDTP_XLA_CACHE_DIR", "0")
+        before = jax.config.jax_compilation_cache_dir
+        assert enable_persistent_cache() is None
+        assert jax.config.jax_compilation_cache_dir == before
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
