@@ -578,6 +578,15 @@ class Trainer:
                                    epoch, val_m)
                 if should_checkpoint(epoch, improved, cfg.ckpt_every,
                                      cfg.epochs):
+                    # Overlap the device→host transfers: materializing leaf
+                    # by leaf costs one relay round trip per leaf (~hundreds
+                    # of leaves), so start every copy in flight first. The
+                    # fetch still COMPLETES here — the train step donates
+                    # the state buffers, so nothing device-side may be
+                    # aliased into the background orbax save.
+                    for leaf in jax.tree_util.tree_leaves(self.state):
+                        if hasattr(leaf, "copy_to_host_async"):
+                            leaf.copy_to_host_async()
                     self.ckpt.save(epoch,
                                    jax.tree_util.tree_map(np.asarray,
                                                           self.state),
