@@ -2,10 +2,15 @@
 §2 C7 and §5 config flags).
 
 Registry names mirror the reference's --arch/--modality semantics:
-  resnet18 / resnet34                  single branch; channels from --modality
+  resnet18 / resnet34 / resnet50       single branch; channels from --modality
                                        (rgb=3, rgbd=4 early fusion, d=1)
   resnet18_latefusion / resnet34_...   two-branch late fusion (rgb + radar)
   resnet18_multistage / resnet34_...   two-stage coarse→refine
+
+resnet50 (Bottleneck) comes from the reference's structural parent
+fangchangma/sparse-to-dense.pytorch (its models.py ships resnet50); the
+latefusion/multistage resnet50 combinations extend radar_depth's own pairs
+to that backbone.
 """
 
 from __future__ import annotations
@@ -82,10 +87,13 @@ def _multi(depth, uncertainty=False):
 ARCH_REGISTRY = {
     "resnet18": ArchSpec("resnet18", "single", False, _single(18)),
     "resnet34": ArchSpec("resnet34", "single", False, _single(34)),
+    "resnet50": ArchSpec("resnet50", "single", False, _single(50)),
     "resnet18_latefusion": ArchSpec("resnet18_latefusion", "late", False, _late(18)),
     "resnet34_latefusion": ArchSpec("resnet34_latefusion", "late", False, _late(34)),
+    "resnet50_latefusion": ArchSpec("resnet50_latefusion", "late", False, _late(50)),
     "resnet18_multistage": ArchSpec("resnet18_multistage", "late", True, _multi(18)),
     "resnet34_multistage": ArchSpec("resnet34_multistage", "late", True, _multi(34)),
+    "resnet50_multistage": ArchSpec("resnet50_multistage", "late", True, _multi(50)),
     # SPECULATIVE registry entries (SURVEY.md §2 C7 note [M]: reference may
     # ship *_multistage_uncertainty*): learned per-stage log-variance loss
     # weighting. Also reachable via --multistage-uncertainty.

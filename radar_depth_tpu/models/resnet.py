@@ -1,6 +1,9 @@
-"""ResNet-18/34 encoders (flax linen, NHWC) mirroring the torchvision
+"""ResNet-18/34/50 encoders (flax linen, NHWC) mirroring the torchvision
 backbones the reference builds on (upstream:models.py::ResNet uses
-torchvision.models.resnet18/34 layers; SURVEY.md §2 C7a).
+torchvision.models.resnet18/34 layers; SURVEY.md §2 C7a. ResNet-50's
+Bottleneck variant comes from the reference's structural parent,
+fangchangma/sparse-to-dense.pytorch, whose models.py supports resnet50 —
+kept so reference users migrating from either repo find their backbone).
 
 Structure is kept 1:1 with torchvision BasicBlock stacks so that a torch
 state_dict converts mechanically (utils/torch_convert.py), including the
@@ -21,7 +24,8 @@ from flax import linen as nn
 
 from radar_depth_tpu.models.layers import make_norm, max_pool_torch
 
-STAGE_SIZES = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3)}
+STAGE_SIZES = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3)}
+BOTTLENECK_EXPANSION = 4  # torchvision Bottleneck: output = 4 * planes
 
 
 class BasicBlock(nn.Module):
@@ -55,6 +59,47 @@ class BasicBlock(nn.Module):
         return nn.relu(y + x)
 
 
+class Bottleneck(nn.Module):
+    """torchvision Bottleneck (ResNet V1.5: the stride sits on the 3×3):
+    1×1-BN-ReLU → 3×3(s)-BN-ReLU → 1×1(×4)-BN + identity/1×1 shortcut."""
+
+    features: int  # "planes" width of the 3×3; block output is 4×features
+    stride: int = 1
+    norm: Callable = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        norm = self.norm or make_norm(dtype=self.dtype)
+        out_features = self.features * BOTTLENECK_EXPANSION
+        y = nn.Conv(
+            self.features, (1, 1), use_bias=False, dtype=self.dtype,
+            precision=jax.lax.Precision.HIGHEST, name="conv1",
+        )(x)
+        y = norm(name="bn1")(y, use_running_average=not train)
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.features, (3, 3), (self.stride, self.stride),
+            padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype,
+            precision=jax.lax.Precision.HIGHEST, name="conv2",
+        )(y)
+        y = norm(name="bn2")(y, use_running_average=not train)
+        y = nn.relu(y)
+        y = nn.Conv(
+            out_features, (1, 1), use_bias=False, dtype=self.dtype,
+            precision=jax.lax.Precision.HIGHEST, name="conv3",
+        )(y)
+        y = norm(name="bn3")(y, use_running_average=not train)
+        if x.shape[-1] != out_features or self.stride != 1:
+            x = nn.Conv(
+                out_features, (1, 1), (self.stride, self.stride),
+                use_bias=False, dtype=self.dtype,
+                precision=jax.lax.Precision.HIGHEST, name="downsample_conv",
+            )(x)
+            x = norm(name="downsample_bn")(x, use_running_average=not train)
+        return nn.relu(y + x)
+
+
 class StemConv(nn.Module):
     """7×7 stride-2 stem conv with the kernel as an eagerly-declared param so
     sibling encoders can read it for cross-encoder output-concat fusion
@@ -80,7 +125,8 @@ class StemConv(nn.Module):
 
 class ResNetEncoder(nn.Module):
     """conv1 → bn → relu → maxpool → layer1..layer4. Returns the (H/32)
-    bottleneck feature map (512 channels for ResNet-18/34).
+    bottleneck feature map (512 channels for ResNet-18/34, 2048 for
+    ResNet-50).
 
     The stem is split into addressable pieces (stem_conv / stem_finish /
     body) so fusion wrappers can batch independent stems through one conv
@@ -88,7 +134,7 @@ class ResNetEncoder(nn.Module):
     half the VPU/MXU lanes; three concatenated stems fill 192). All pieces
     compose to exactly the original math."""
 
-    depth: int = 18  # 18 or 34
+    depth: int = 18  # 18, 34 (BasicBlock) or 50 (Bottleneck)
     in_channels: int = 3
     width: int = 64
     norm: Callable = None
@@ -99,12 +145,13 @@ class ResNetEncoder(nn.Module):
         self.conv1 = StemConv(self.width, self.in_channels, dtype=self.dtype,
                               name="conv1")
         self.bn1 = norm(name="bn1")
+        block_cls = Bottleneck if self.depth >= 50 else BasicBlock
         blocks = []
         for stage, num_blocks in enumerate(STAGE_SIZES[self.depth]):
             features = self.width * (2**stage)
             for block in range(num_blocks):
                 stride = 2 if (stage > 0 and block == 0) else 1
-                blocks.append(BasicBlock(
+                blocks.append(block_cls(
                     features, stride=stride, norm=norm, dtype=self.dtype,
                     name=f"layer{stage + 1}_{block}"))
         self.blocks = blocks
@@ -130,4 +177,5 @@ class ResNetEncoder(nn.Module):
 
     @property
     def out_channels(self) -> int:
-        return self.width * 8
+        exp = BOTTLENECK_EXPANSION if self.depth >= 50 else 1
+        return self.width * 8 * exp

@@ -1,7 +1,8 @@
 """torch (CPU) re-implementation of the model zoo for parity testing.
 
 Written from SURVEY.md §3.4's architecture description (upstream:models.py
-design): torchvision-style ResNet-18/34 BasicBlock encoder, 1×1 bottleneck,
+design): torchvision-style ResNet-18/34 BasicBlock (and ResNet-50
+Bottleneck, per the sparse-to-dense.pytorch parent) encoder, 1×1 bottleneck,
 {DeConv, UpConv, UpProj} decoders with zero-insertion Unpool, early/late
 fusion, two-stage coarse→refine with radar filtering. NCHW, float32.
 
@@ -16,7 +17,8 @@ import torch
 import torch.nn as nn
 import torch.nn.functional as F
 
-STAGE_SIZES = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3)}
+STAGE_SIZES = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3)}
+BOTTLENECK_EXPANSION = 4
 
 
 def conv3x3(cin, cout, stride=1):
@@ -43,20 +45,53 @@ class BasicBlock(nn.Module):
         return F.relu(y + x)
 
 
+class Bottleneck(nn.Module):
+    """torchvision Bottleneck (ResNet V1.5: stride on the 3×3), mirroring
+    models.resnet.Bottleneck — 1×1 → 3×3(s) → 1×1(×4) + shortcut."""
+
+    def __init__(self, cin, planes, stride=1):
+        super().__init__()
+        cout = planes * BOTTLENECK_EXPANSION
+        self.conv1 = nn.Conv2d(cin, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = conv3x3(planes, planes, stride)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, cout, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(cout)
+        self.has_downsample = stride != 1 or cin != cout
+        if self.has_downsample:
+            self.downsample_conv = nn.Conv2d(cin, cout, 1, stride, bias=False)
+            self.downsample_bn = nn.BatchNorm2d(cout)
+
+    def forward(self, x):
+        y = F.relu(self.bn1(self.conv1(x)))
+        y = F.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        if self.has_downsample:
+            x = self.downsample_bn(self.downsample_conv(x))
+        return F.relu(y + x)
+
+
 class Encoder(nn.Module):
     def __init__(self, depth=18, in_channels=3, width=64):
         super().__init__()
         self.conv1 = nn.Conv2d(in_channels, width, 7, 2, 3, bias=False)
         self.bn1 = nn.BatchNorm2d(width)
+        expansion = BOTTLENECK_EXPANSION if depth >= 50 else 1
         cin = width
         for stage, blocks in enumerate(STAGE_SIZES[depth]):
-            cout = width * (2**stage)
+            planes = width * (2**stage)
             for b in range(blocks):
                 stride = 2 if (stage > 0 and b == 0) else 1
-                setattr(self, f"layer{stage + 1}_{b}", BasicBlock(cin, cout, stride))
-                cin = cout
+                if depth >= 50:
+                    blk = Bottleneck(cin, planes, stride)
+                    cin = planes * expansion
+                else:
+                    blk = BasicBlock(cin, planes, stride)
+                    cin = planes
+                setattr(self, f"layer{stage + 1}_{b}", blk)
         self.depth = depth
-        self.out_channels = width * 8
+        self.out_channels = width * 8 * expansion
 
     def forward(self, x):
         y = F.relu(self.bn1(self.conv1(x)))
@@ -170,7 +205,8 @@ class TorchLateFusionNet(nn.Module):
         self.img_encoder = Encoder(depth, 3)
         self.radar_encoder = Encoder(depth, radar_in_channels, radar_width)
         c = self.img_encoder.out_channels
-        self.conv2 = nn.Conv2d(c + radar_width * 8, c // 2, 1, bias=False)
+        self.conv2 = nn.Conv2d(c + self.radar_encoder.out_channels, c // 2,
+                               1, bias=False)
         self.bn2 = nn.BatchNorm2d(c // 2)
         self.decoder = Decoder(decoder, c // 2)
         self.conv3 = nn.Conv2d(c // 32, 1, 3, 1, 1, bias=False)

@@ -83,11 +83,38 @@ def test_arch_forward_shapes(arch, decoder):
 
 def test_registry_complete():
     assert set(ARCH_REGISTRY) == {
-        "resnet18", "resnet34",
-        "resnet18_latefusion", "resnet34_latefusion",
-        "resnet18_multistage", "resnet34_multistage",
+        "resnet18", "resnet34", "resnet50",
+        "resnet18_latefusion", "resnet34_latefusion", "resnet50_latefusion",
+        "resnet18_multistage", "resnet34_multistage", "resnet50_multistage",
         "resnet18_multistage_uncertainty", "resnet34_multistage_uncertainty",
     }
+
+
+def test_resnet50_bottleneck_shapes():
+    """ResNet-50 (Bottleneck) encoder: 2048-ch bottleneck, decoder chain
+    still lands at the output size; latefusion fuses 2048+2048 channels."""
+    from radar_depth_tpu.models.resnet import ResNetEncoder
+
+    enc = ResNetEncoder(depth=50)
+    assert enc.out_channels == 2048
+    x = jnp.asarray(RNG.uniform(size=(1, *OUT, 3)).astype(np.float32))
+    variables = enc.init(jax.random.PRNGKey(0), x, train=False)
+    y = enc.apply(variables, x, train=False)
+    assert y.shape == (1, OUT[0] // 32, OUT[1] // 32, 2048)
+    # block param tree matches torchvision Bottleneck naming
+    blk = variables["params"]["layer1_0"]
+    assert set(blk) == {"conv1", "bn1", "conv2", "bn2", "conv3", "bn3",
+                        "downsample_conv", "downsample_bn"}
+    model, spec = create_model("resnet50_latefusion", decoder="upproj",
+                               output_size=OUT)
+    radar = jnp.asarray(
+        (RNG.uniform(size=(1, *OUT, 1)) > 0.99).astype(np.float32) * 20)
+    variables = model.init(jax.random.PRNGKey(0), x, radar, train=False)
+    # fused concat is 2048 (img) + 2048 (radar, width 64 Bottleneck) wide
+    assert variables["params"]["conv2"]["kernel"].shape == (1, 1, 4096, 1024)
+    out = model.apply(variables, x, radar, train=False)
+    assert out.shape == (1, *OUT, 1)
+    assert np.isfinite(np.asarray(out)).all()
 
 
 def test_filter_radar_by_prediction():

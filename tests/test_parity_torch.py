@@ -81,6 +81,41 @@ def test_latefusion_parity():
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
 
 
+def test_resnet50_parity():
+    """ResNet-50 Bottleneck parity (single-branch rgbd AND latefusion):
+    converted torch-oracle weights must reproduce the flax forward. Covers
+    the 1×1→3×3(s)→1×1(×4) block, its downsample path, and the 2048-ch
+    fusion bottleneck (sparse-to-dense.pytorch models.py ships resnet50)."""
+    torch.manual_seed(5)
+    (rgb, radar), (trgb, tradar) = _inputs()
+    rgbd = np.concatenate([rgb, radar], axis=-1)
+    trgbd = torch.cat([trgb, tradar], dim=1)
+
+    tmodel = TorchDepthNet(50, 4, "upproj", OUT)
+    _warm_bn(tmodel, (trgbd,))
+    with torch.no_grad():
+        want = tmodel(trgbd).numpy().transpose(0, 2, 3, 1)
+    model, _ = create_model("resnet50", modality="rgbd", decoder="upproj",
+                            output_size=OUT)
+    template = model.init(jax.random.PRNGKey(0), jnp.asarray(rgbd), train=False)
+    variables = torch_state_dict_to_variables(tmodel.state_dict(), template)
+    got = np.asarray(model.apply(variables, jnp.asarray(rgbd), train=False))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+    tmodel = TorchLateFusionNet(50, "upproj", OUT)
+    _warm_bn(tmodel, (trgb, tradar))
+    with torch.no_grad():
+        want = tmodel(trgb, tradar).numpy().transpose(0, 2, 3, 1)
+    model, _ = create_model("resnet50_latefusion", decoder="upproj",
+                            output_size=OUT)
+    template = model.init(jax.random.PRNGKey(0), jnp.asarray(rgb),
+                          jnp.asarray(radar), train=False)
+    variables = torch_state_dict_to_variables(tmodel.state_dict(), template)
+    got = np.asarray(model.apply(variables, jnp.asarray(rgb),
+                                 jnp.asarray(radar), train=False))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
 def test_multistage_parity():
     torch.manual_seed(2)
     (rgb, radar), (trgb, tradar) = _inputs()
