@@ -25,12 +25,34 @@ def _abs(path: str) -> str:
     return os.path.abspath(path)
 
 
+def _sweep_stale_tmp(ckpt_dir: str) -> list:
+    """Remove `<step>.orbax-checkpoint-tmp` dirs left by a save that was
+    SIGKILLed mid-commit. They are uncommitted by construction (orbax renames
+    atomically on commit), but a later save of the SAME step in that dir dies
+    with FileExistsError on the tmp path — observed when a killed epoch-0
+    save blocked a fresh run in the same output dir. Returns removed paths."""
+    import re
+    import shutil
+
+    removed = []
+    if not os.path.isdir(ckpt_dir):
+        return removed
+    for name in os.listdir(ckpt_dir):
+        if re.fullmatch(r"\d+\.orbax-checkpoint-tmp", name):
+            path = os.path.join(ckpt_dir, name)
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(path)
+    return removed
+
+
 class CheckpointManager:
     def __init__(self, output_dir: str, max_to_keep: int = 3):
         from orbax.checkpoint import checkpoint_managers as cm
 
         self.dir = _abs(os.path.join(output_dir, "checkpoints"))
         os.makedirs(self.dir, exist_ok=True)
+        for path in _sweep_stale_tmp(self.dir):
+            print(f"removed stale interrupted-save dir {path}")
         # Preserve the latest epoch AND the best-N by val RMSE. best_fn alone
         # would let orbax delete the latest checkpoint whenever it is not
         # among the best, silently rewinding --resume to an older epoch

@@ -34,13 +34,18 @@ def main() -> int:
     ap.add_argument("--dir", default="results/r4")
     args = ap.parse_args()
 
-    pat = re.compile(r"^(s\d|ns\d+)_?(?:sd(\d+))?_eval_(all|night|day)\.txt$")
+    # tags: s0_sd42 (Phase B), ns05/ns10 (C/A), ns10_sd43 (F),
+    # s1_sd42_ms (Phase E plain-multistage arm; "_ms" rides the tag so the
+    # s2c-vs-plain contrast prints side by side)
+    pat = re.compile(
+        r"^(s\d|ns\d+)_?(?:sd(\d+))?(_ms)?_eval_(all|night|day)\.txt$")
     table: dict = {}
     for fn in sorted(os.listdir(args.dir)):
         m = pat.match(fn)
         if not m:
             continue
-        tag, seed, split = m.group(1), m.group(2) or "-", m.group(3)
+        tag = m.group(1) + (m.group(3) or "")
+        seed, split = m.group(2) or "-", m.group(4)
         d = last_json(os.path.join(args.dir, fn))
         if d is None:
             continue

@@ -290,6 +290,25 @@ def test_checkpoint_keeps_latest_and_best(tmp_path):
     mgr.close()
 
 
+def test_stale_interrupted_save_dir_swept(tmp_path):
+    """A SIGKILL mid-save leaves `<step>.orbax-checkpoint-tmp`; a fresh run
+    in that dir must sweep it, not die with FileExistsError when it saves
+    the same step (observed: a killed epoch-0 save blocked the rerun)."""
+    from radar_depth_tpu.train import checkpoint as ckpt_lib
+
+    stale = tmp_path / "checkpoints" / "0.orbax-checkpoint-tmp"
+    stale.mkdir(parents=True)
+    (stale / "partial_leaf").write_bytes(b"garbage from a killed save")
+    mgr = ckpt_lib.CheckpointManager(str(tmp_path))
+    assert not stale.exists(), "stale tmp dir must be swept at init"
+    mgr.save(0, {"w": np.full(3, 7.0, np.float32)}, {"rmse": 1.0}, wait=True)
+    template = {"w": np.zeros(3, np.float32)}
+    state, epoch, best = mgr.restore(template)
+    np.testing.assert_array_equal(state["w"], np.full(3, 7.0, np.float32))
+    assert epoch == 0
+    mgr.close()
+
+
 def test_ckpt_every_cadence():
     """--ckpt-every k: improvements and the final epoch always save; the
     periodic cadence is anchored on the final epoch so a completed run's
