@@ -211,6 +211,14 @@ class Trainer:
             self._load_pretrained(cfg.model.pretrained)
 
         os.makedirs(cfg.output_dir, exist_ok=True)
+        self._run_lock = None
+        if not cfg.evaluate:
+            # Exclusive writer lock: two trainers sharing an output dir
+            # interleave CSVs and collide on orbax step dirs (observed r4 —
+            # utils/runlock.py docstring). --evaluate is read-only, no lock.
+            from radar_depth_tpu.utils.runlock import acquire_run_lock
+
+            self._run_lock = acquire_run_lock(cfg.output_dir)
         if not cfg.evaluate:
             # self-describing run dir: --evaluate/--resume/Predictor.from_run
             # recover arch+data flags from here (reference C10 semantics)
@@ -620,6 +628,11 @@ class Trainer:
         if getattr(self, "tboard", None) is not None:
             self.tboard.close()
             self.tboard = None
+        if getattr(self, "_run_lock", None) is not None:
+            from radar_depth_tpu.utils.runlock import release_run_lock
+
+            release_run_lock(self._run_lock)
+            self._run_lock = None
 
 
 def _widen_to_template(template, src):

@@ -290,6 +290,32 @@ def test_checkpoint_keeps_latest_and_best(tmp_path):
     mgr.close()
 
 
+def test_run_lock(tmp_path):
+    """Two trainers must never share an output dir (observed r4: interleaved
+    CSVs + colliding orbax step dirs). A live foreign holder refuses, a dead
+    holder's lock is stolen, our own pid re-acquires (same-process resume)."""
+    from radar_depth_tpu.utils.runlock import (
+        acquire_run_lock,
+        release_run_lock,
+    )
+
+    lock = tmp_path / ".trainer.lock"
+    lock.write_text("1\n")  # pid 1 is alive
+    with pytest.raises(RuntimeError, match="live trainer"):
+        acquire_run_lock(str(tmp_path))
+    lock.write_text("4194303\n")  # almost certainly dead → stolen
+    path = acquire_run_lock(str(tmp_path))
+    assert lock.read_text().strip() == str(os.getpid())
+    # same pid re-acquires (sequential Trainers in one test process)
+    assert acquire_run_lock(str(tmp_path)) == path
+    release_run_lock(path)
+    assert not lock.exists()
+    # releasing someone else's lock is a no-op
+    lock.write_text("1\n")
+    release_run_lock(path)
+    assert lock.exists()
+
+
 def test_stale_interrupted_save_dir_swept(tmp_path):
     """A SIGKILL mid-save leaves `<step>.orbax-checkpoint-tmp`; a fresh run
     in that dir must sweep it, not die with FileExistsError when it saves
