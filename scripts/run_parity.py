@@ -280,7 +280,7 @@ def main():
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--sweeps", type=int, default=5)
     p.add_argument("--decoder", default="upproj")
-    p.add_argument("--depth", type=int, default=18, choices=[18, 34])
+    p.add_argument("--depth", type=int, default=18, choices=[18, 34, 50])
     p.add_argument("--run", default=None,
                    help="trained run dir to export into the torch oracle")
     p.add_argument("--cpu", action="store_true", help="force jax onto CPU")
