@@ -166,12 +166,14 @@ def test_multistage_stage2_coarse_parity():
                                atol=2e-4, rtol=1e-3)
 
 
-def test_gradient_parity():
+@pytest.mark.parametrize("depth", [18, 50])
+def test_gradient_parity(depth):
     """Backward parity: d(masked L1 loss)/d(params) through the full
     encoder-decoder must match torch autograd with converted weights
     (eval-mode BN so running stats — not batch stats — feed both backward
     passes). Forward parity alone would not catch transposed-conv/unpool
-    gradient mismatches (SURVEY.md §7 hard part #4)."""
+    gradient mismatches (SURVEY.md §7 hard part #4). depth=50 pins the
+    Bottleneck backward (1x1 convs + expansion downsample)."""
     from radar_depth_tpu.objectives import masked_l1_loss
     from radar_depth_tpu.utils.torch_convert import variables_to_torch_state_dict
 
@@ -183,7 +185,7 @@ def test_gradient_parity():
     target[RNG.uniform(size=target.shape) < 0.7] = 0.0
     ttarget = torch.from_numpy(target.transpose(0, 3, 1, 2))
 
-    tmodel = TorchDepthNet(18, 4, "upproj", OUT)
+    tmodel = TorchDepthNet(depth, 4, "upproj", OUT)
     _warm_bn(tmodel, (trgbd,))
     tmodel.eval()
     pred_t = tmodel(trgbd)
@@ -193,8 +195,8 @@ def test_gradient_parity():
     tgrads = {k: p.grad.detach().numpy() for k, p in tmodel.named_parameters()
               if p.grad is not None}
 
-    model, _ = create_model("resnet18", modality="rgbd", decoder="upproj",
-                            output_size=OUT)
+    model, _ = create_model(f"resnet{depth}", modality="rgbd",
+                            decoder="upproj", output_size=OUT)
     template = model.init(jax.random.PRNGKey(0), jnp.asarray(rgbd), train=False)
     variables = torch_state_dict_to_variables(tmodel.state_dict(), template)
 
