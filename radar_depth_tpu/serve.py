@@ -118,6 +118,8 @@ class DepthServer:
                            for k, v in batch.items()))
         p = _Pending(batch, key)
         with self._qcv:
+            if self._stop:
+                raise RuntimeError("server closed")
             self._queue.append(p)
             self._qcv.notify()
         p.event.wait()
@@ -133,14 +135,28 @@ class DepthServer:
                 while not self._queue and not self._stop:
                     self._qcv.wait()
                 if self._stop:
+                    # fail pending requests loudly instead of abandoning
+                    # their waiters in event.wait() forever
+                    for p in self._queue:
+                        p.error = RuntimeError("server closed")
+                        p.event.set()
+                    self._queue = []
                     return
             # window: let concurrent requests land before dispatching
             time.sleep(self.batch_window_ms / 1000.0)
             with self._qcv:
-                # coalesce the oldest request's shape group, up to max_tile
+                if not self._queue:
+                    continue
+                # Coalesce the oldest request's shape group, up to max_tile.
+                # The HEAD request always dispatches — even when n > max_tile
+                # (predictor.predict tiles oversized batches internally, same
+                # as single-flight) — otherwise it would sit at the queue head
+                # forever and starve everything behind it.
                 key = self._queue[0].key
-                group, rest, total = [], [], 0
-                for p in self._queue:
+                group = [self._queue[0]]
+                total = group[0].n
+                rest = []
+                for p in self._queue[1:]:
                     if p.key == key and total + p.n <= self.max_tile:
                         group.append(p)
                         total += p.n
@@ -176,6 +192,11 @@ class DepthServer:
             self._qcv.notify_all()
         if self._dispatcher is not None:
             self._dispatcher.join(timeout=5)
+        with self._qcv:  # anything that slipped in after the drain
+            for p in self._queue:
+                p.error = RuntimeError("server closed")
+                p.event.set()
+            self._queue = []
 
     def handler(self):
         server = self

@@ -46,13 +46,20 @@ def _sweep_stale_tmp(ckpt_dir: str) -> list:
 
 
 class CheckpointManager:
-    def __init__(self, output_dir: str, max_to_keep: int = 3):
+    def __init__(self, output_dir: str, max_to_keep: int = 3,
+                 sweep_stale: bool = True):
+        """sweep_stale must be False for READ-ONLY openers (--evaluate): a
+        live trainer's in-flight async save uses the same tmp naming, and
+        sweeping it from a second process would truncate that save. Writers
+        hold the run-dir lock (utils/runlock.py), so their sweep only ever
+        sees tmp dirs from their own dead predecessors."""
         from orbax.checkpoint import checkpoint_managers as cm
 
         self.dir = _abs(os.path.join(output_dir, "checkpoints"))
         os.makedirs(self.dir, exist_ok=True)
-        for path in _sweep_stale_tmp(self.dir):
-            print(f"removed stale interrupted-save dir {path}")
+        if sweep_stale:
+            for path in _sweep_stale_tmp(self.dir):
+                print(f"removed stale interrupted-save dir {path}")
         # Preserve the latest epoch AND the best-N by val RMSE. best_fn alone
         # would let orbax delete the latest checkpoint whenever it is not
         # among the best, silently rewinding --resume to an older epoch

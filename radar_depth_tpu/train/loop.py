@@ -219,7 +219,6 @@ class Trainer:
             from radar_depth_tpu.utils.runlock import acquire_run_lock
 
             self._run_lock = acquire_run_lock(cfg.output_dir)
-        if not cfg.evaluate:
             # self-describing run dir: --evaluate/--resume/Predictor.from_run
             # recover arch+data flags from here (reference C10 semantics)
             from radar_depth_tpu.config import save_config
@@ -227,7 +226,9 @@ class Trainer:
             save_config(cfg, os.path.join(cfg.output_dir, "config.json"))
         self.train_log = EpochCSVLogger(os.path.join(cfg.output_dir, "train.csv"))
         self.val_log = EpochCSVLogger(os.path.join(cfg.output_dir, "test.csv"))
-        self.ckpt = ckpt_lib.CheckpointManager(cfg.output_dir)
+        # read-only openers must not sweep a live writer's in-flight save tmp
+        self.ckpt = ckpt_lib.CheckpointManager(cfg.output_dir,
+                                               sweep_stale=not cfg.evaluate)
         self.tboard = None
         if cfg.tensorboard:
             from radar_depth_tpu.utils.tboard import TensorBoardLogger

@@ -4,68 +4,67 @@ Motivated by an observed r4 failure: a restarted experiment queue raced an
 orphaned pre-restart queue, and two trainers wrote the same output dir
 concurrently — interleaved CSV rows, colliding orbax saves (one died on the
 other's step tmp dir, the other on a step_directory_creation timeout), and
-an untrustworthy best checkpoint. A pidfile lock makes the second trainer
-fail fast and loudly instead.
+an untrustworthy best checkpoint. The lock makes the second trainer fail
+fast and loudly instead.
 
-Stale locks (holder pid no longer alive) are stolen automatically, so a
-SIGKILLed run never blocks its own --resume.
+Ownership is a kernel flock(2) on `<output_dir>/.trainer.lock`, NOT the
+file's existence: the kernel releases it the instant the holder dies, so a
+SIGKILLed run never blocks its own --resume and there is no stale-pidfile
+steal (two racers both observing a dead holder and deleting each other's
+fresh lock — the unlink/recreate race a content-based pidfile scheme has).
+The holder's pid is written into the file purely for the error message.
+The lock file itself is never unlinked (deleting it would let a waiter
+that already opened the old inode and a newcomer on the new inode "hold"
+the lock simultaneously).
 """
 
 from __future__ import annotations
 
+import fcntl
 import os
+from typing import Dict
 
 LOCK_NAME = ".trainer.lock"
 
-
-def _pid_alive(pid: int) -> bool:
-    try:
-        os.kill(pid, 0)
-    except ProcessLookupError:
-        return False
-    except PermissionError:
-        return True
-    return True
+_HELD: Dict[str, int] = {}  # abspath -> open fd holding the flock
 
 
 def acquire_run_lock(output_dir: str) -> str:
-    """Create `<output_dir>/.trainer.lock` holding our pid. Raises
-    RuntimeError if another LIVE process holds it; steals a stale lock.
-    Returns the lock path (pass to release_run_lock)."""
-    path = os.path.join(output_dir, LOCK_NAME)
-    for _ in range(2):
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            try:
-                with open(path) as f:
-                    holder = int(f.read().strip() or "0")
-            except (OSError, ValueError):
-                holder = 0
-            if holder and holder != os.getpid() and _pid_alive(holder):
-                raise RuntimeError(
-                    f"{output_dir} is being written by a live trainer "
-                    f"(pid {holder}, lock {path}). Two trainers sharing an "
-                    "output dir corrupt CSVs and checkpoints — pick another "
-                    "--output-dir, or remove the lock if that pid is not a "
-                    "trainer.")
-            os.unlink(path)  # stale (dead holder) — steal
-            continue
-        with os.fdopen(fd, "w") as f:
-            f.write(f"{os.getpid()}\n")
+    """flock `<output_dir>/.trainer.lock`. Raises RuntimeError if another
+    live process holds it. Re-acquiring a lock this process already holds
+    is a no-op (sequential Trainers in one test process). Returns the lock
+    path (pass to release_run_lock)."""
+    path = os.path.abspath(os.path.join(output_dir, LOCK_NAME))
+    if path in _HELD:
         return path
-    raise RuntimeError(f"could not acquire {path} after stale-steal retry")
+    fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        try:
+            holder = os.read(fd, 64).decode(errors="replace").strip() or "?"
+        except OSError:
+            holder = "?"
+        os.close(fd)
+        raise RuntimeError(
+            f"{output_dir} is being written by a live trainer "
+            f"(pid {holder}, lock {path}). Two trainers sharing an output "
+            "dir corrupt CSVs and checkpoints — pick another --output-dir, "
+            "or wait for that process to exit.") from None
+    os.ftruncate(fd, 0)
+    os.write(fd, f"{os.getpid()}\n".encode())
+    _HELD[path] = fd
+    return path
 
 
 def release_run_lock(path: str) -> None:
-    """Remove the lock iff we still own it. Idempotent."""
-    try:
-        with open(path) as f:
-            if int(f.read().strip() or "0") != os.getpid():
-                return
-    except (OSError, ValueError):
+    """Release a lock this process holds. Idempotent; foreign paths are a
+    no-op. The file stays on disk (ownership is the flock, not existence)."""
+    fd = _HELD.pop(os.path.abspath(path), None)
+    if fd is None:
         return
     try:
-        os.unlink(path)
+        os.ftruncate(fd, 0)  # clear the stale pid hint
     except OSError:
         pass
+    os.close(fd)  # closing the fd releases the flock

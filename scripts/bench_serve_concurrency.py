@@ -92,7 +92,10 @@ def main() -> int:
         threading.Thread(target=httpd.serve_forever, daemon=True).start()
         lat: list = []
         lat_lock = threading.Lock()
-        per_client = args.requests // args.clients
+        # ceil so no requested work is silently dropped (and per_client >= 1
+        # even when requests < clients — an empty lat list would crash the
+        # percentile computation after the servers were already spun up)
+        per_client = max(1, -(-args.requests // args.clients))
 
         def client(ci):
             req_body = bodies[ci]

@@ -141,3 +141,40 @@ def test_serve_coalesces_concurrent_requests(tiny_run):
         httpd.shutdown()
         httpd.server_close()
         srv.close()
+
+
+def test_serve_coalesced_oversized_request(tiny_run):
+    """A request LARGER than max_tile must still dispatch in coalesced mode
+    (predictor tiles it internally) — it must not wedge the queue head and
+    starve every later request. Also: close() fails queued stragglers loudly
+    instead of leaving their waiters blocked forever."""
+    from radar_depth_tpu.data.synthetic import SyntheticNuScenes
+    from radar_depth_tpu.inference import Predictor
+    from radar_depth_tpu.serve import DepthServer
+
+    cfg, run_dir = tiny_run
+    predictor = Predictor.from_run(run_dir)
+    srv = DepthServer(predictor, max_tile=4, batch_window_ms=50.0)
+    srv.warmup()
+    try:
+        big = SyntheticNuScenes(6, spec=cfg.data.sample_spec(),
+                                seed=13).batch(range(6))  # n=6 > max_tile=4
+        buf = io.BytesIO()
+        np.savez(buf, **big)
+        done = {}
+
+        def call():
+            out = srv.predict_npz(buf.getvalue())
+            done["depth"] = np.load(io.BytesIO(out))["depth"]
+
+        t = threading.Thread(target=call)
+        t.start()
+        t.join(timeout=60)
+        assert not t.is_alive(), "oversized request wedged the dispatcher"
+        assert done["depth"].shape == (6, 64, 96)
+        np.testing.assert_allclose(done["depth"], predictor.predict(big),
+                                   rtol=1e-5, atol=1e-5)
+    finally:
+        srv.close()
+    with pytest.raises(RuntimeError, match="server closed"):
+        srv.predict_npz(buf.getvalue())

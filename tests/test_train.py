@@ -292,28 +292,39 @@ def test_checkpoint_keeps_latest_and_best(tmp_path):
 
 def test_run_lock(tmp_path):
     """Two trainers must never share an output dir (observed r4: interleaved
-    CSVs + colliding orbax step dirs). A live foreign holder refuses, a dead
-    holder's lock is stolen, our own pid re-acquires (same-process resume)."""
+    CSVs + colliding orbax step dirs). Ownership is a kernel flock: a live
+    foreign holder refuses, death releases instantly (no stale-steal races),
+    and the same process re-acquires (sequential Trainers in one test)."""
+    import subprocess
+    import sys
+
     from radar_depth_tpu.utils.runlock import (
         acquire_run_lock,
         release_run_lock,
     )
 
+    probe = (
+        "from radar_depth_tpu.utils.runlock import acquire_run_lock;"
+        f"acquire_run_lock({str(tmp_path)!r})"
+    )
+
+    # a dead holder's lock file does not block (flock died with the pid)
     lock = tmp_path / ".trainer.lock"
-    lock.write_text("1\n")  # pid 1 is alive
-    with pytest.raises(RuntimeError, match="live trainer"):
-        acquire_run_lock(str(tmp_path))
-    lock.write_text("4194303\n")  # almost certainly dead → stolen
+    lock.write_text("4194303\n")
     path = acquire_run_lock(str(tmp_path))
     assert lock.read_text().strip() == str(os.getpid())
-    # same pid re-acquires (sequential Trainers in one test process)
+    # same process re-acquires (no-op), and a FOREIGN process is refused
     assert acquire_run_lock(str(tmp_path)) == path
+    rc = subprocess.run([sys.executable, "-c", probe],
+                        capture_output=True, text=True)
+    assert rc.returncode != 0 and "live trainer" in rc.stderr
+    # release → a foreign process can acquire (and auto-releases on exit)
     release_run_lock(path)
-    assert not lock.exists()
-    # releasing someone else's lock is a no-op
-    lock.write_text("1\n")
+    rc = subprocess.run([sys.executable, "-c", probe],
+                        capture_output=True, text=True)
+    assert rc.returncode == 0, rc.stderr[-300:]
+    # releasing an unheld path is a no-op
     release_run_lock(path)
-    assert lock.exists()
 
 
 def test_stale_interrupted_save_dir_swept(tmp_path):
