@@ -30,7 +30,11 @@ def _sweep_stale_tmp(ckpt_dir: str) -> list:
     SIGKILLed mid-commit. They are uncommitted by construction (orbax renames
     atomically on commit), but a later save of the SAME step in that dir dies
     with FileExistsError on the tmp path — observed when a killed epoch-0
-    save blocked a fresh run in the same output dir. Returns removed paths."""
+    save blocked a fresh run in the same output dir. Returns removed paths.
+
+    The pattern also accepts orbax's `-<timestamp>` tmp suffix, used on
+    filesystems without atomic rename (e.g. GCS), where the plain form never
+    appears (ADVICE r4 low)."""
     import re
     import shutil
 
@@ -38,7 +42,7 @@ def _sweep_stale_tmp(ckpt_dir: str) -> list:
     if not os.path.isdir(ckpt_dir):
         return removed
     for name in os.listdir(ckpt_dir):
-        if re.fullmatch(r"\d+\.orbax-checkpoint-tmp", name):
+        if re.fullmatch(r"\d+\.orbax-checkpoint-tmp(-\d+)?", name):
             path = os.path.join(ckpt_dir, name)
             shutil.rmtree(path, ignore_errors=True)
             removed.append(path)

@@ -263,8 +263,14 @@ class Trainer:
 
     def maybe_resume(self):
         if self.cfg.resume:
+            # sweep_stale=False: restore never saves into the resume dir, and
+            # the trainer's run lock covers only cfg.output_dir — when
+            # --resume points at a DIFFERENT run dir (forking), sweeping
+            # would truncate a live writer's in-flight async save there. The
+            # writing manager (self.ckpt, on output_dir) sweeps under the
+            # lock. (ADVICE r4 medium.)
             state, epoch, best_rmse = ckpt_lib.CheckpointManager(
-                self.cfg.resume).restore(
+                self.cfg.resume, sweep_stale=False).restore(
                 jax.tree_util.tree_map(np.asarray, self.state)
             )
             self.state = jax.device_put(state, replicated_sharding(self.mesh))

@@ -26,16 +26,19 @@ from typing import Dict
 
 LOCK_NAME = ".trainer.lock"
 
-_HELD: Dict[str, int] = {}  # abspath -> open fd holding the flock
+_HELD: Dict[str, list] = {}  # abspath -> [open fd holding the flock, refcount]
 
 
 def acquire_run_lock(output_dir: str) -> str:
     """flock `<output_dir>/.trainer.lock`. Raises RuntimeError if another
     live process holds it. Re-acquiring a lock this process already holds
-    is a no-op (sequential Trainers in one test process). Returns the lock
-    path (pass to release_run_lock)."""
+    is refcounted (overlapping Trainer lifetimes in one test process must
+    not drop the flock when the first of them releases — ADVICE r4 low).
+    Returns the lock path (pass to release_run_lock)."""
     path = os.path.abspath(os.path.join(output_dir, LOCK_NAME))
-    if path in _HELD:
+    held = _HELD.get(path)
+    if held is not None:
+        held[1] += 1
         return path
     fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
     try:
@@ -53,16 +56,24 @@ def acquire_run_lock(output_dir: str) -> str:
             "or wait for that process to exit.") from None
     os.ftruncate(fd, 0)
     os.write(fd, f"{os.getpid()}\n".encode())
-    _HELD[path] = fd
+    _HELD[path] = [fd, 1]
     return path
 
 
 def release_run_lock(path: str) -> None:
-    """Release a lock this process holds. Idempotent; foreign paths are a
-    no-op. The file stays on disk (ownership is the flock, not existence)."""
-    fd = _HELD.pop(os.path.abspath(path), None)
-    if fd is None:
+    """Release one acquisition of a lock this process holds. The flock (and
+    fd) drop only when the last in-process holder releases. Idempotent past
+    zero; foreign paths are a no-op. The file stays on disk (ownership is
+    the flock, not existence)."""
+    path = os.path.abspath(path)
+    held = _HELD.get(path)
+    if held is None:
         return
+    held[1] -= 1
+    if held[1] > 0:
+        return
+    del _HELD[path]
+    fd = held[0]
     try:
         os.ftruncate(fd, 0)  # clear the stale pid hint
     except OSError:

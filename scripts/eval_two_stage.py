@@ -197,6 +197,12 @@ def main() -> int:
                 return ([f"no samples tagged {split!r}"], False)
         else:
             indices = list(range(len(ds)))
+        if not indices:
+            # Same clear failure the tagged-split path gets — without this an
+            # empty val dir leaves every sum as None and finalize crashes
+            # with an opaque TypeError (ADVICE r4 low).
+            return ([f"no samples in split {split or 'all'!r} "
+                     f"(empty val set at {args.data_root})"], False)
 
         n = len(indices)
         sums = {"coarse": None, "refined": None,

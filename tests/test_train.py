@@ -313,8 +313,15 @@ def test_run_lock(tmp_path):
     lock.write_text("4194303\n")
     path = acquire_run_lock(str(tmp_path))
     assert lock.read_text().strip() == str(os.getpid())
-    # same process re-acquires (no-op), and a FOREIGN process is refused
+    # same process re-acquires (refcounted), and a FOREIGN process is refused
     assert acquire_run_lock(str(tmp_path)) == path
+    rc = subprocess.run([sys.executable, "-c", probe],
+                        capture_output=True, text=True)
+    assert rc.returncode != 0 and "live trainer" in rc.stderr
+    # releasing ONE of two in-process acquisitions keeps the flock held
+    # (overlapping Trainer lifetimes — ADVICE r4: the first close must not
+    # drop protection for the survivor)
+    release_run_lock(path)
     rc = subprocess.run([sys.executable, "-c", probe],
                         capture_output=True, text=True)
     assert rc.returncode != 0 and "live trainer" in rc.stderr
@@ -336,8 +343,19 @@ def test_stale_interrupted_save_dir_swept(tmp_path):
     stale = tmp_path / "checkpoints" / "0.orbax-checkpoint-tmp"
     stale.mkdir(parents=True)
     (stale / "partial_leaf").write_bytes(b"garbage from a killed save")
+    # orbax's non-atomic-rename form (e.g. GCS) carries a timestamp suffix —
+    # the sweep must catch it too (ADVICE r4 low)
+    stale_ts = tmp_path / "checkpoints" / "3.orbax-checkpoint-tmp-1755600000"
+    stale_ts.mkdir(parents=True)
+    # non-matching names must survive (the pattern is anchored: numeric
+    # timestamp only)
+    keep = tmp_path / "checkpoints" / "4.orbax-checkpoint-tmp-notatimestamp"
+    keep.mkdir(parents=True)
     mgr = ckpt_lib.CheckpointManager(str(tmp_path))
     assert not stale.exists(), "stale tmp dir must be swept at init"
+    assert not stale_ts.exists(), "timestamped tmp dir must be swept too"
+    assert keep.exists(), "non-matching names must survive the sweep"
+    keep.rmdir()
     mgr.save(0, {"w": np.full(3, 7.0, np.float32)}, {"rmse": 1.0}, wait=True)
     template = {"w": np.zeros(3, np.float32)}
     state, epoch, best = mgr.restore(template)
