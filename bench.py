@@ -51,6 +51,12 @@ def main():
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--repeat", type=int, default=3,
+                   help="timed repetitions of the measurement loop; the JSON "
+                        "value is the median and min/max/mean ride along — "
+                        "the gate number carries its own error bar "
+                        "(VERDICT r4 #3: N=1 each round left a 0.03% margin "
+                        "unexplained)")
     p.add_argument("--height", type=int, default=450)
     p.add_argument("--width", type=int, default=800)
     p.add_argument("--sweeps", type=int, default=5)
@@ -154,12 +160,44 @@ def main():
     # warmup = one full compiled run (same executable as the timed run)
     checksum = float(run_iters(params, batch_stats, batch))
     assert np.isfinite(checksum)
-    t0 = time.perf_counter()
-    checksum = float(run_iters(params, batch_stats, batch))
-    dt = time.perf_counter() - t0
-    assert np.isfinite(checksum)
-    img_per_sec = args.batch * args.iters / dt
-    per_chip = img_per_sec / n_chips
+    dts = []
+    for _ in range(max(1, args.repeat)):
+        t0 = time.perf_counter()
+        checksum = float(run_iters(params, batch_stats, batch))
+        dts.append(time.perf_counter() - t0)
+        assert np.isfinite(checksum)
+    rates = sorted(args.batch * args.iters / d / n_chips for d in dts)
+    per_chip = rates[len(rates) // 2] if len(rates) % 2 else (
+        rates[len(rates) // 2 - 1] + rates[len(rates) // 2]) / 2
+
+    # MFU: end-to-end model FLOPs (preproc + two-stage forward, from XLA's
+    # own cost model over the exact executed graph) per wall second, vs the
+    # device's bf16 peak. Cost-analyze a SINGLE step, not the scanned loop:
+    # HLO cost analysis counts a while/scan body ONCE, not ×trip-count
+    # (measured here: the scan graph reported exactly iters× too few flops).
+    # Two denominators ride the JSON: the v5e nominal 197 TFLOP/s, and this
+    # relay's MEASURED conv peak 114 TFLOP/s (NOTES.md "Device/runtime
+    # facts") — on the relay the latter is the achievable ceiling. Never
+    # gates: cost_analysis is unsupported on some PJRT backends.
+    mfu = {}
+    try:
+        one = jax.jit(lambda p, bs, b: step(p, bs, b,
+                                            jnp.zeros((), jnp.float32)))
+        lowered = one.lower(params, batch_stats, batch)
+        try:
+            flops = float(lowered.cost_analysis()["flops"])
+        except Exception:
+            flops = float(lowered.compile().cost_analysis()["flops"])
+        flops_per_img = flops / args.batch
+        tfs = flops_per_img * per_chip / 1e12
+        mfu = {
+            "model_tflops_per_sec": round(tfs, 2),
+            "gflops_per_image": round(flops_per_img / 1e9, 2),
+            "mfu_vs_v5e_nominal_197": round(tfs / 197.0, 4),
+            "mfu_vs_measured_conv_peak_114": round(tfs / 114.0, 4),
+        }
+    except Exception:
+        pass
 
     if args.mode == "stream":
         # Honest served-traffic measurement: every step uploads a fresh raw
@@ -208,12 +246,18 @@ def main():
         }))
         return
 
-    print(json.dumps({
+    out = {
         "metric": "images_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(per_chip / 1000.0, 4),
-    }))
+        "repeats": len(rates),
+        "min": round(rates[0], 2),
+        "max": round(rates[-1], 2),
+        "mean": round(sum(rates) / len(rates), 2),
+    }
+    out.update(mfu)
+    print(json.dumps(out))
 
 
 def bench_train(args, model, arch_spec, cfg, variables, batch, n_chips):

@@ -49,6 +49,9 @@ def main():
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--height", type=int, default=450)
     p.add_argument("--width", type=int, default=800)
+    p.add_argument("--arch", default="resnet18_multistage",
+                   help="model for the full-forward row and encoder depth "
+                        "(e.g. resnet50_latefusion — VERDICT r4 #5)")
     args = p.parse_args()
 
     from flax import linen as nn
@@ -72,19 +75,25 @@ def main():
         return timeit(fn, (vars_, x), label=label)
 
     # encoders
+    import re
+
+    depth = int(re.match(r"resnet(\d+)", args.arch).group(1))
     x_img = jnp.zeros((B, H, W, 3), dtype)
     x_rad = jnp.zeros((B, H, W, 1), dtype)
-    enc = ResNetEncoder(depth=18, in_channels=3, dtype=dtype)
-    bench_module(enc, x_img, "img ResNet18 encoder (3ch)")
-    encr = ResNetEncoder(depth=18, in_channels=1, dtype=dtype)
-    bench_module(encr, x_rad, "radar ResNet18 encoder (1ch)")
+    enc = ResNetEncoder(depth=depth, in_channels=3, dtype=dtype)
+    bench_module(enc, x_img, f"img ResNet{depth} encoder (3ch)")
+    encr = ResNetEncoder(depth=depth, in_channels=1, dtype=dtype)
+    bench_module(encr, x_rad, f"radar ResNet{depth} encoder (1ch)")
 
-    # decoder: full + per block
-    hb, wb = 15, 25  # H/32 ceil for 450x800 (conv chain)
-    x_dec = jnp.zeros((B, hb, wb, 256), dtype)
-    dec = Decoder(kind="upproj", in_channels=256, dtype=dtype)
+    # decoder: full + per block. Bottleneck (resnet50) tops out at 2048ch ->
+    # the 1x1 bottleneck conv maps to 1024-in decoders; BasicBlock to 256.
+    top_c = 256 if depth < 50 else 1024
+    hb = -(-H // 32)
+    wb = -(-W // 32)
+    x_dec = jnp.zeros((B, hb, wb, top_c), dtype)
+    dec = Decoder(kind="upproj", in_channels=top_c, dtype=dtype)
     bench_module(dec, x_dec, "decoder upproj (4 blocks)")
-    hh, ww, cc = hb, wb, 256
+    hh, ww, cc = hb, wb, top_c
     for i in range(4):
         blk = UpProjBlock(cc // 2, dtype=dtype)
         xb = jnp.zeros((B, hh, ww, cc), dtype)
@@ -103,17 +112,19 @@ def main():
 
     bench_module(Head(), x_head, f"head conv3+resize {hh}x{ww}x{cc}")
 
-    # full two-stage forward (no preproc)
-    model, spec_a = create_model("resnet18_multistage", decoder="upproj",
+    # full model forward (no preproc)
+    model, spec_a = create_model(args.arch, decoder="upproj",
                                  output_size=(H, W), dtype=dtype)
-    v = model.init(rng, x_img.astype(jnp.float32), x_rad[..., 0].astype(jnp.float32)[..., None], False)
+    v = model.init(rng, x_img.astype(jnp.float32),
+                   x_rad[..., 0].astype(jnp.float32)[..., None], False)
 
     def full(carry, v, rgb, radar):
-        c, r = model.apply(v, rgb, radar, False)
-        return carry + jnp.sum(r.astype(jnp.float32))
+        out = model.apply(v, rgb, radar, False)
+        pred = out[1] if spec_a.multistage else out
+        return carry + jnp.sum(pred.astype(jnp.float32))
 
     timeit(full, (v, x_img.astype(jnp.float32), x_rad.astype(jnp.float32)),
-           label="two-stage full forward")
+           label=f"{args.arch} full forward")
 
 
 if __name__ == "__main__":

@@ -1,8 +1,10 @@
-"""Aggregate the r4 queue's eval outputs into the error-bar tables
-(VERDICT r3 #2): per-(severity, seed) coarse-vs-refined metrics with the
-night-RMSE delta, plus mean±spread across seeds.
+"""Aggregate queue eval outputs into the error-bar tables
+(VERDICT r3 #2 / r4 #1,#8): per-(severity, seed) coarse-vs-refined metrics
+with the night-RMSE delta, plus mean±spread across seeds. Multiple --dir
+values merge rounds (r4 holds seeds 42/43, r5 holds 44/45 — the 4-seed
+tables need both).
 
-Usage: python scripts/r4_summarize.py [--dir results/r4]
+Usage: python scripts/r4_summarize.py [--dir results/r4 results/r5]
 """
 
 from __future__ import annotations
@@ -31,7 +33,7 @@ def last_json(path: str):
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--dir", default="results/r4")
+    ap.add_argument("--dir", nargs="+", default=["results/r4"])
     args = ap.parse_args()
 
     # tags: s0_sd42 (Phase B), ns05/ns10 (C/A), ns10_sd43 (F),
@@ -40,16 +42,18 @@ def main() -> int:
     pat = re.compile(
         r"^(s\d|ns\d+)_?(?:sd(\d+))?(_ms)?_eval_(all|night|day)\.txt$")
     table: dict = {}
-    for fn in sorted(os.listdir(args.dir)):
-        m = pat.match(fn)
-        if not m:
-            continue
-        tag = m.group(1) + (m.group(3) or "")
-        seed, split = m.group(2) or "-", m.group(4)
-        d = last_json(os.path.join(args.dir, fn))
-        if d is None:
-            continue
-        table.setdefault((tag, seed), {})[split] = d
+    for d_ in args.dir:
+        for fn in sorted(os.listdir(d_)):
+            m = pat.match(fn)
+            if not m:
+                continue
+            tag = m.group(1) + (m.group(3) or "")
+            seed, split = m.group(2) or "-", m.group(4)
+            d = last_json(os.path.join(d_, fn))
+            if d is None:
+                continue
+            # first dir listed wins on collisions (re-run evals)
+            table.setdefault((tag, seed), {}).setdefault(split, d)
 
     metrics = ("rmse", "mae", "absrel")
     hdr = " ".join(f"{'Δ' + m + '%':>9s}" for m in metrics)
