@@ -66,6 +66,10 @@ class ModelConfig:
     # SURVEY.md §3.4 "(+D₁?)" [M]: feed the coarse prediction to stage-2 as a
     # second radar-branch channel (stop_gradient'ed; see models/fusion.py)
     stage2_coarse: bool = False
+    # brightness-conditional output policy (models/fusion.py::
+    # blend_by_brightness): >0 ⇒ eval/serving emit refined where mean RGB
+    # < tau, coarse where brighter. 0 disables (pure refined output).
+    blend_tau: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -207,6 +211,7 @@ _RUN_CONFIG_FLAGS = {
     "abs_threshold": ("model", "abs_threshold"),
     "rel_threshold": ("model", "rel_threshold"),
     "stage2_coarse": ("model", "stage2_coarse"),
+    "blend_tau": ("model", "blend_tau"),
     "height": ("data", "height"), "width": ("data", "width"),
     "num_sweeps": ("data", "num_sweeps"), "max_depth": ("data", "max_depth"),
     "height_extension": ("data", "height_extension"),
@@ -333,6 +338,11 @@ def parse_command(argv=None) -> TrainConfig:
     p.add_argument("--filter-mode", default="abs", choices=["abs", "rel", "or"])
     p.add_argument("--abs-threshold", type=float, default=2.0)
     p.add_argument("--rel-threshold", type=float, default=0.15)
+    p.add_argument("--blend-tau", type=float, default=0.0,
+                   help="brightness-conditional output policy: emit refined "
+                        "where per-sample mean RGB < tau, coarse where "
+                        "brighter (removes the measured day-RMSE refinement "
+                        "tax); 0 disables")
     p.add_argument("--pretrained", default="")
     p.add_argument("--stage1-path", default="")
     p.add_argument("--remat", action="store_true",
@@ -387,7 +397,7 @@ def parse_command(argv=None) -> TrainConfig:
             filter_mode=a.filter_mode, abs_threshold=a.abs_threshold,
             rel_threshold=a.rel_threshold, pretrained=a.pretrained,
             stage1_path=a.stage1_path, remat=a.remat,
-            stage2_coarse=a.stage2_coarse,
+            stage2_coarse=a.stage2_coarse, blend_tau=a.blend_tau,
         ),
         optim=OptimConfig(
             lr=a.lr, momentum=a.momentum, weight_decay=a.weight_decay,

@@ -149,6 +149,11 @@ class Predictor:
             {"params": params, "batch_stats": batch_stats}, *inputs,
             train=False)
         pred = out[1] if self.arch_spec.multistage else out
+        if self.arch_spec.multistage and self.cfg.model.blend_tau > 0:
+            from radar_depth_tpu.models.fusion import blend_by_brightness
+
+            pred = blend_by_brightness(out[0], out[1], prepared["rgb"],
+                                       self.cfg.model.blend_tau)
         return pred[..., 0], prepared["target"][..., 0]
 
     def predict(self, batch: Dict, max_tile: int = 128) -> np.ndarray:

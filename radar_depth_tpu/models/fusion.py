@@ -132,6 +132,27 @@ def filter_radar_by_prediction(
     return jnp.where((radar > 0) & keep, radar, 0.0)
 
 
+def blend_by_brightness(
+    coarse: jax.Array,
+    refined: jax.Array,
+    rgb: jax.Array,
+    tau: float,
+) -> jax.Array:
+    """Brightness-conditional output policy over the two heads the
+    multistage graph already computes (SURVEY.md §3.4 two-stage output
+    semantics [M]): per sample, emit ``refined`` where the image is dark
+    (mean RGB < tau — radar carries unique signal) and ``coarse`` where
+    bright (the image branch alone is sufficient; refinement pays a
+    measured severity-independent ~+1.4% day-RMSE tax, NOTES.md r4
+    Phase B). Pure elementwise select — one graph, no extra FLOPs.
+    Measured r5 (results/r5/blend_*.txt): any tau in [0.10, 0.40]
+    separates synthetic day/night exactly, making the blend the best of
+    both heads on every split."""
+    bright = jnp.mean(rgb.astype(jnp.float32), axis=(1, 2, 3))
+    dark = (bright < tau)[:, None, None, None]
+    return jnp.where(dark, refined, coarse)
+
+
 class MultiStageNet(nn.Module):
     """Two-stage coarse→refine model (upstream multistage arch; SURVEY.md
     §3.4). Single jitted graph; returns (coarse, refined)."""

@@ -55,7 +55,12 @@ def _forward(model, spec: ArchSpec, variables, prepared, cfg: TrainConfig,
     return out
 
 
-def _loss_and_pred(out, target, cfg: TrainConfig, spec: ArchSpec):
+def _loss_and_pred(out, target, cfg: TrainConfig, spec: ArchSpec,
+                   rgb=None):
+    """``rgb`` (eval paths only): enables the --blend-tau output policy —
+    the emitted pred is blend_by_brightness(coarse, refined) so validation,
+    best-model selection and viz all score the DEPLOYED output. Training
+    loss is unaffected (always the multistage sum over both heads)."""
     if spec.multistage:
         if len(out) == 3:  # (coarse, refined, stage_log_var) — uncertainty
             loss = multistage_uncertainty_loss(out[:2], out[2], target,
@@ -64,6 +69,11 @@ def _loss_and_pred(out, target, cfg: TrainConfig, spec: ArchSpec):
             loss = multistage_loss(out, target, cfg.optim.criterion,
                                    cfg.optim.stage_weights)
         pred = out[1]
+        if rgb is not None and cfg.model.blend_tau > 0:
+            from radar_depth_tpu.models.fusion import blend_by_brightness
+
+            pred = blend_by_brightness(out[0], out[1], rgb,
+                                       cfg.model.blend_tau)
     else:
         loss = get_loss(cfg.optim.criterion)(out, target)
         pred = out
@@ -197,7 +207,8 @@ def make_eval_step(model, spec: ArchSpec, cfg: TrainConfig,
         variables = {"params": params, "batch_stats": batch_stats}
         out = _forward(model, spec, variables, prepared, cfg,
                        train=False, mutable=False)
-        loss, pred = _loss_and_pred(out, prepared["target"], cfg, spec)
+        loss, pred = _loss_and_pred(out, prepared["target"], cfg, spec,
+                                    rgb=prepared["rgb"])
         sums = compute_metric_sums(pred, prepared["target"], cfg.metric_avg)
         sums["loss"] = loss.astype(jnp.float32)
         return sums
@@ -215,7 +226,8 @@ def make_predict_fn(model, spec: ArchSpec, cfg: TrainConfig) -> Callable:
         variables = {"params": params, "batch_stats": batch_stats}
         out = _forward(model, spec, variables, prepared, cfg,
                        train=False, mutable=False)
-        _, pred = _loss_and_pred(out, prepared["target"], cfg, spec)
+        _, pred = _loss_and_pred(out, prepared["target"], cfg, spec,
+                                 rgb=prepared["rgb"])
         return dict(prepared, pred=pred)
 
     return predict
