@@ -86,17 +86,24 @@ class DepthServer:
             self._dispatcher.start()
 
     def warmup(self) -> None:
-        """Compile the serving program on a synthetic batch before marking
-        ready. Tiles compile per power-of-two size on first use, so the
-        first request at a NEW tile size still pays one jit — steady-state
-        traffic at a stable batch size never does."""
+        """Compile the serving program at EVERY power-of-two tile size up
+        to max_tile before marking ready. The tiling dispatcher
+        (inference.py::Predictor.predict) compiles one program per pow2
+        tile on first use; warming only one size lets the first traffic
+        burst hit the remaining tiles cold — measured r5 on the TPU relay
+        (~30-60 s/compile), a coalescing server's first 64 requests paid
+        3 in-band compiles and p99 blew up to 51 s. Warming the full tile
+        ladder moves that cost to startup, where it belongs."""
         from radar_depth_tpu.data.synthetic import SyntheticNuScenes
 
         spec = self.predictor.cfg.data.sample_spec()
-        n = min(self.max_tile, 2)
-        batch = SyntheticNuScenes(n, spec=spec, seed=0).batch(range(n))
+        ds = SyntheticNuScenes(self.max_tile, spec=spec, seed=0)
         with self._lock:
-            self.predictor.predict(batch, max_tile=self.max_tile)
+            n = 1
+            while n <= self.max_tile:
+                batch = ds.batch(range(min(n, self.max_tile)))
+                self.predictor.predict(batch, max_tile=self.max_tile)
+                n *= 2
         self.ready = True
 
     def predict_npz(self, body: bytes) -> bytes:

@@ -11,12 +11,16 @@
 #      one arm at the winning point"): the 96x160 sweep found abs=4 the
 #      best night cell at BOTH seeds at eval time; retrain the s2c arm
 #      with --filter-mode abs --abs-threshold 4 at both seeds and eval.
-# Usage: bash scripts/r5_queue2.sh [PHASES]   (default UK)
+#   W  serve-coalescing TPU re-bench after the warmup fix (serve.py now
+#      warms the full pow2 tile ladder; the Phase N run paid 3 in-band
+#      ~40 s relay compiles inside its 64-request window — kept as
+#      results/r5/serve_concurrency_tpu.txt for the before/after).
+# Usage: bash scripts/r5_queue2.sh [PHASES]   (default UKW)
 set -u
 cd /root/repo
 mkdir -p results/r5 runs data
 R=results/r5
-PHASES=${1:-UK}
+PHASES=${1:-UKW}
 want () { case "$PHASES" in *$1*) return 0;; *) return 1;; esac; }
 
 run () { # run <tag> <epochs> <timeout_s> <args...>
@@ -95,4 +99,17 @@ for seed in 42 43; do
 done
 echo "PHASE_K_DONE $(date +%H:%M:%S)"
 ) || echo "PHASE_K_FAILED rc=$?"; fi
+# ---------- Phase W: serve TPU re-bench with full-ladder warmup -----------
+if want W; then (
+if [ ! -s "$R/serve_concurrency_tpu_warm.txt" ]; then
+  echo "[serve] TPU concurrency re-bench (warm tile ladder) $(date +%H:%M:%S)"
+  timeout 7200 python scripts/bench_serve_concurrency.py \
+      --height 96 --width 160 --sweeps 3 --clients 8 --requests 64 \
+      > "$R/serve_concurrency_tpu_warm.txt" 2> runs/r5_serve_warm.log || {
+    echo "[serve] FAILED"; tail -5 runs/r5_serve_warm.log;
+    rm -f "$R/serve_concurrency_tpu_warm.txt"; }
+  cat "$R/serve_concurrency_tpu_warm.txt" 2>/dev/null
+fi
+echo "PHASE_W_DONE $(date +%H:%M:%S)"
+) || echo "PHASE_W_FAILED rc=$?"; fi
 echo "QUEUE2_DONE $(date +%H:%M:%S)"
