@@ -38,9 +38,10 @@ def main() -> int:
 
     # tags: s0_sd42 (Phase B), ns05/ns10 (C/A), ns10_sd43 (F),
     # s1_sd42_ms (Phase E plain-multistage arm; "_ms" rides the tag so the
-    # s2c-vs-plain contrast prints side by side)
+    # s2c-vs-plain contrast prints side by side), s1_sd42_a4 (r5 Phase K
+    # trained-at-abs=4 arm)
     pat = re.compile(
-        r"^(s\d|ns\d+)_?(?:sd(\d+))?(_ms)?_eval_(all|night|day)\.txt$")
+        r"^(s\d|ns\d+)_?(?:sd(\d+))?(_ms|_a4)?_eval_(all|night|day)\.txt$")
     table: dict = {}
     for d_ in args.dir:
         for fn in sorted(os.listdir(d_)):
