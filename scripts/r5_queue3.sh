@@ -8,18 +8,20 @@
 #      so it runs before any training contention)
 #   K  96x160 trained-at-abs4 consistency arms, seeds 42+43
 #      (regenerates the s1_sd{42,43}_lf stage-1 runs first)
-#   J  96x160 severity chains, seeds 44+45 x sev {0,1}
-#   I  full-res crossing: retrain sd44 (run dir lost; committed evals stay
-#      the reference — a determinism cross-check re-evals the retrained
-#      model and diffs against the committed file) + train sd45 fresh
+#   I  full-res crossing: train sd45 fresh (the missing 4th seed —
+#      VERDICT #1, highest value) then retrain sd44 (run dir lost;
+#      committed evals stay the reference — a determinism cross-check
+#      re-evals the retrained model and diffs against the committed file)
 #   U  full-res filter sweep + blend on the (re)trained 450x800 s2c runs
+#   J  96x160 severity chains, seeds 44+45 x sev {0,1} (VERDICT #8 —
+#      lowest-priority remaining evidence, so it runs last)
 #   T  stream bench artifact + claims-vs-artifacts check
-# Usage: bash scripts/r5_queue3.sh [PHASES]   (default GWKJIUT)
+# Usage: bash scripts/r5_queue3.sh [PHASES]   (default GWKIUJT)
 set -u
 cd /root/repo
 mkdir -p results/r5 runs data
 R=results/r5
-PHASES=${1:-GWKJIUT}
+PHASES=${1:-GWKIUJT}
 want () { case "$PHASES" in *$1*) return 0;; *) return 1;; esac; }
 
 gen () { # gen <out> <args...>
@@ -113,31 +115,9 @@ done
 echo "PHASE_K_DONE $(date +%H:%M:%S)"
 ) || echo "PHASE_K_FAILED rc=$?"; fi
 
-# ---------- Phase J: 96x160 severity chains, seeds 44+45 ------------------
-if want J; then (
-for sev in 1 0; do
-  for seed in 44 45; do
-    t=s${sev}_sd${seed}
-    run ${t}_lf 20 7200 --arch resnet18_latefusion --decoder upproj \
-        --dataset packed --data-root data/synth_s${sev}_small --height 96 \
-        --width 160 --num-sweeps 3 -b 8 --epochs 20 --lr 0.01 \
-        --lr-decay-epochs 8 --workers 1 --seed "$seed" \
-        --output-dir runs/${t}_lf
-    run ${t}_s2c 14 7200 --arch resnet18_multistage --decoder upproj \
-        --stage1-path runs/${t}_lf --dataset packed \
-        --data-root data/synth_s${sev}_small --height 96 --width 160 \
-        --num-sweeps 3 -b 8 --epochs 14 --lr 0.002 --lr-decay-epochs 8 \
-        --filter-mode rel --stage2-coarse --workers 1 --seed "$seed" \
-        --output-dir runs/${t}_s2c
-    evm "$t" "runs/${t}_s2c" "data/synth_s${sev}_small"
-  done
-done
-echo "PHASE_J_DONE $(date +%H:%M:%S)"
-) || echo "PHASE_J_FAILED rc=$?"; fi
-
-# ---------- Phase I: full-res crossing, seed 44 (retrain) + 45 ------------
+# ---------- Phase I: full-res crossing, seed 45 (fresh) + 44 (retrain) ----
 if want I; then (
-for seed in 44 45; do
+for seed in 45 44; do
   t=ns10_sd${seed}
   run ${t}_lf 20 10800 --arch resnet18_latefusion --decoder upproj \
       --dataset packed --data-root data/synth_ns10 -b 32 --epochs 20 \
@@ -200,6 +180,28 @@ for tag in ns10_sd44 ns10_sd45; do
 done
 echo "PHASE_U_DONE $(date +%H:%M:%S)"
 ) || echo "PHASE_U_FAILED rc=$?"; fi
+
+# ---------- Phase J: 96x160 severity chains, seeds 44+45 ------------------
+if want J; then (
+for sev in 1 0; do
+  for seed in 44 45; do
+    t=s${sev}_sd${seed}
+    run ${t}_lf 20 7200 --arch resnet18_latefusion --decoder upproj \
+        --dataset packed --data-root data/synth_s${sev}_small --height 96 \
+        --width 160 --num-sweeps 3 -b 8 --epochs 20 --lr 0.01 \
+        --lr-decay-epochs 8 --workers 1 --seed "$seed" \
+        --output-dir runs/${t}_lf
+    run ${t}_s2c 14 7200 --arch resnet18_multistage --decoder upproj \
+        --stage1-path runs/${t}_lf --dataset packed \
+        --data-root data/synth_s${sev}_small --height 96 --width 160 \
+        --num-sweeps 3 -b 8 --epochs 14 --lr 0.002 --lr-decay-epochs 8 \
+        --filter-mode rel --stage2-coarse --workers 1 --seed "$seed" \
+        --output-dir runs/${t}_s2c
+    evm "$t" "runs/${t}_s2c" "data/synth_s${sev}_small"
+  done
+done
+echo "PHASE_J_DONE $(date +%H:%M:%S)"
+) || echo "PHASE_J_FAILED rc=$?"; fi
 
 # ---------- Phase T: stream bench + claims check --------------------------
 if want T; then
