@@ -5,10 +5,15 @@
 # python descendants of the queue root; if the sum does not advance for
 # STALL_MIN minutes while the queue is alive, kill the queue tree by
 # exact PIDs, wait for a relay health probe, and relaunch the
-# restart-safe scripts/r5_queue3.sh. Exits when the queue logs
-# QUEUE3_DONE. Logs to /tmp/queue_guard.log.
+# restart-safe queue script (Q_SCRIPT, default scripts/r5_queue4.sh).
+# Exits when the queue log (Q_LOG) contains the done marker (Q_DONE).
+# Logs to /tmp/queue_guard.log.
 cd /root/repo
 STALL_MIN=${STALL_MIN:-20}
+Q_SCRIPT=${Q_SCRIPT:-scripts/r5_queue4.sh}
+Q_LOG=${Q_LOG:-runs_queue4.log}
+Q_DONE=${Q_DONE:-QUEUE4_DONE}
+Q_PIDFILE=${Q_PIDFILE:-/tmp/queue4.pid}
 LOG=/tmp/queue_guard.log
 log () { echo "[guard $(date +%H:%M:%S)] $*" >> "$LOG"; }
 
@@ -19,7 +24,7 @@ descendants () { # descendants <pid> — pid plus all transitive children
   echo "$out"
 }
 
-qpid () { cat /tmp/queue3.pid 2>/dev/null; }
+qpid () { cat "$Q_PIDFILE" 2>/dev/null; }
 
 jiffies_sum () { # CPU jiffies over all python descendants of the queue
   local total=0 p
@@ -45,13 +50,13 @@ log "start (stall threshold ${STALL_MIN}m)"
 last_j=-1
 last_change=$(date +%s)
 while true; do
-  if grep -q "QUEUE3_DONE" runs_queue3.log 2>/dev/null; then
+  if grep -q "$Q_DONE" "$Q_LOG" 2>/dev/null; then
     log "queue done; guard exiting"; exit 0
   fi
   if ! kill -0 "$(qpid)" 2>/dev/null; then
     log "queue root gone without QUEUE3_DONE; relaunching"
-    bash scripts/r5_queue3.sh >> runs_queue3.log 2>&1 &
-    echo $! > /tmp/queue3.pid
+    bash "$Q_SCRIPT" >> "$Q_LOG" 2>&1 &
+    echo $! > "$Q_PIDFILE"
     last_j=-1; last_change=$(date +%s); sleep 60; continue
   fi
   j=$(jiffies_sum)
@@ -65,8 +70,8 @@ while true; do
     for p in $pids; do kill -9 "$p" 2>/dev/null; done
     until relay_ok; do log "relay still wedged"; sleep 60; done
     log "relay healthy; relaunching queue in 30s"; sleep 30
-    bash scripts/r5_queue3.sh >> runs_queue3.log 2>&1 &
-    echo $! > /tmp/queue3.pid
+    bash "$Q_SCRIPT" >> "$Q_LOG" 2>&1 &
+    echo $! > "$Q_PIDFILE"
     log "queue relaunched pid $(qpid)"
     last_j=-1; last_change=$(date +%s)
   fi
