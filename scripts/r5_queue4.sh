@@ -115,6 +115,14 @@ gen data/synth_ns10 --num-train 512 --num-val 128 --height 450 --width 800 \
 # ---------- Phase K: trained-at-abs4 arms (seed 42 landed; 43 remains) ----
 if want K; then (
 for seed in 42 43; do
+  # The eval triplet is the phase's committed artifact; after a host reboot
+  # wipes runs/, a seed whose triplet survives needs no retrain at all.
+  if [ -s "$R/s1_sd${seed}_a4_eval_all.txt" ] && \
+     [ -s "$R/s1_sd${seed}_a4_eval_night.txt" ] && \
+     [ -s "$R/s1_sd${seed}_a4_eval_day.txt" ]; then
+    echo "[K sd${seed}] a4 eval triplet already committed, skipping seed"
+    continue
+  fi
   run s1_sd${seed}_lf 20 7200 --arch resnet18_latefusion --decoder upproj \
       --dataset packed --data-root data/synth_s1_small --height 96 \
       --width 160 --num-sweeps 3 -b 8 --epochs 20 --lr 0.01 \
