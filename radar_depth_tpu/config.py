@@ -56,7 +56,11 @@ class ModelConfig:
     modality: str = "rgbd"  # for single-branch archs: rgb | rgbd | d
     decoder: str = "upproj"
     dtype: str = "float32"  # compute dtype: float32 | bfloat16
-    # two-stage filter (SURVEY.md §3.4 [M] rule):
+    # two-stage filter (SURVEY.md §3.4 [M] rule). Defaults mirror the
+    # reference's assumed operating point so its recipes reproduce
+    # unchanged; the r5 threshold sweep measured abs=4 as the better
+    # operating point (NOTES.md "Filter-threshold sweep"), applicable to
+    # existing checkpoints at eval time since thresholds are runtime config.
     filter_mode: str = "abs"
     abs_threshold: float = 2.0
     rel_threshold: float = 0.15
